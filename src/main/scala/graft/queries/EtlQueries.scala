@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * §B — the reference's ETL semantics (zuyezheng/solana-etl) re-expressed
+ * as declarative Spark plans over the testdata star schema.
+ *
+ * The reference walks nested block JSON imperatively (Python object
+ * model, per-row loops: `src/load/TransformTask.py:19-103`,
+ * `src/transform/Transaction.py`, `src/transform/Transfer.py`). Here
+ * each of those semantics is a whole-relation DataFrame transform —
+ * grouped/conditional aggregation, typed sub-record filtering,
+ * explode-with-position — which Catalyst turns into shuffles keyed
+ * exactly on the entity key (order/user/month), with map-side partial
+ * aggregation. No driver-side iteration anywhere.
+ */
+object EtlQueries {
+
+  /**
+   * Per-parent enrichment ≈ `block_to_transactions`
+   * (`TransformTask.py:19-51`): per transaction the reference counts
+   * instructions/accounts, serializes the distinct program set, and
+   * totals signed balance changes IN vs OUT. Mirrored per-order:
+   * item counts, distinct-supplier set (sorted, joined — the
+   * JSON-array analog), and IN/OUT value totals where returned items
+   * ('R') are outflows.
+   */
+  def txEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val li  = Tables.lineitem(spark, dir)
+    val signed = li.withColumn("signed_value",
+      when(col("l_returnflag") === "R", -col("l_extendedprice"))
+        .otherwise(col("l_extendedprice")))
+    ord.join(signed, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .agg(
+        count(col("l_partkey")).as("num_items"),
+        coalesce(round(sum(col("l_quantity")), 4), lit(0.0)).as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("num_suppliers"),
+        array_join(transform(sort_array(collect_set(col("l_suppkey"))),
+          _.cast("string")), ",").as("suppliers"),
+        coalesce(round(sum(when(col("signed_value") > 0, col("signed_value")).otherwise(0.0)), 4), lit(0.0)).as("value_in"),
+        coalesce(round(sum(when(col("signed_value") < 0, col("signed_value")).otherwise(0.0)), 4), lit(0.0)).as("value_out"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /**
+   * Typed sub-record extraction ≈ CoinTransfer/TokenTransfer
+   * (`Transfer.py:24-72`, `Interactions.py:23-38`): filter records of
+   * one (program, type), project source/destination/mint, and keep the
+   * amount UNSCALED with an adjacent scale column (`NumberWithScale`).
+   */
+  def transferExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id").as("source"),
+        get_json_object(col("props"), "$.k").cast("int").as("destination"),
+        lit("credits").as("mint"),
+        round(col("value") * 100, 0).cast("long").as("value"),
+        lit(2).as("scale"))
+      .orderBy(col("event_id"))
+
+  /**
+   * Per-group split metrics ≈ `block_info` (`TransformTask.py:84-103`):
+   * the reference emits one row per block with every metric computed
+   * separately over successful vs errored transactions. Mirrored
+   * per-month over orders with the O/F/P status split: counts, value
+   * totals, and distinct-entity counts per class — one shuffle, all
+   * conditional aggregates.
+   */
+  def blockMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+    def cnt(status: String) =
+      count(when(col("o_orderstatus") === status, lit(1))).as(s"n_${status.toLowerCase}")
+    def value(status: String) =
+      round(sum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(0.0)), 4)
+        .as(s"value_${status.toLowerCase}")
+    def custs(status: String) =
+      countDistinct(when(col("o_orderstatus") === status, col("o_custkey"))).as(s"custs_${status.toLowerCase}")
+    ord.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        cnt("O"), value("O"), custs("O"),
+        cnt("F"), value("F"), custs("F"),
+        cnt("P"), value("P"), custs("P"),
+        count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"))
+      .orderBy(col("month"))
+  }
+
+  /**
+   * Signed flow aggregation ≈ `BalanceChangeAgg` ALL/ABS/IN/OUT
+   * (`BalanceChange.py:43-63`): purchases flow in (+), errors flow
+   * out (−); one pass computes all four aggregates per user.
+   */
+  def balanceInOut(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("signed",
+      when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "error", -col("value"))
+        .otherwise(lit(0.0)))
+    ev.groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("signed") > 0, col("signed")).otherwise(0.0)), 4).as("value_in"),
+        round(sum(when(col("signed") < 0, col("signed")).otherwise(0.0)), 4).as("value_out"),
+        round(sum(col("signed")), 4).as("value_all"),
+        round(sum(abs(col("signed"))), 4).as("value_abs"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
+   * Scaled-integer arithmetic ≈ `NumberWithScale` (`NumberWithScale.py`):
+   * money carried as integer cents + scale, summed exactly as int64
+   * (associative, drift-free at any parallelism), floated only at the
+   * output edge.
+   */
+  def scaledDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+    cents.groupBy(col("l_returnflag"))
+      .agg(sum(col("cents")).as("cents_total"),
+        count(lit(1)).as("n_items"))
+      .withColumn("scale", lit(2))
+      .withColumn("value_scaled", round(col("cents_total") / 100.0, 2))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /**
+   * Entity classification ≈ `accounts_by_type`
+   * (`Transaction.py:160-178`): rule-ordered CASE classification into
+   * types, then per-type membership metrics.
+   */
+  def entityClassify(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("account_type",
+        when(col("c_acctbal") < 0, "delinquent")
+          .when(col("c_acctbal") > 7000, "premium")
+          .when(col("c_mktsegment").isin("BUILDING", "MACHINERY"), "industrial")
+          .otherwise("retail"))
+      .groupBy(col("account_type"))
+      .agg(count(lit(1)).as("n_accounts"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(sum(col("c_acctbal")), 4).as("total_balance"))
+      .orderBy(col("account_type"))
+
+  /**
+   * Weighted edge-list aggregation ≈ `GraphBuilder` coin-transfer graph
+   * (`GraphBuilder.py:1-16`): (src, dst) edges with interaction count
+   * and total value. At scale this is one shuffle on the composite
+   * edge key with partial aggregation.
+   */
+  def graphEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("n_interactions"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_value"))
+      .orderBy(col("src"), col("dst"))
+
+  /**
+   * Schema'd JSON extraction ≈ `Block`/`Instruction` JSON parsing
+   * (`Block.py`, `Instruction.py:150-210`): pull typed fields out of a
+   * JSON string column. Codegen'd path expression, no UDF.
+   */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10)))
+      .orderBy(col("event_id"))
+
+  /**
+   * Positional explode ≈ `Instructions.flatten` + `set_ids`
+   * (`Instruction.py:64-76, 250-262`): nested children flattened to
+   * rows with dotted positional ids ("orderkey.pos"). Built by
+   * collecting each order's items into a sorted array and exploding
+   * with position — the same array-of-struct shape the reference walks.
+   */
+  def instrFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("items"))
+    nested
+      .select(col("l_orderkey"), posexplode(col("items")).as(Seq("pos", "item")))
+      .select(
+        col("l_orderkey"),
+        col("pos"),
+        col("item.l_partkey").as("l_partkey"),
+        col("item.l_quantity").as("l_quantity"),
+        concat_ws(".", col("l_orderkey"), col("pos")).as("gen_id"))
+      .orderBy(col("l_orderkey"), col("pos"))
+  }
+
+  /**
+   * Valid/error row routing ≈ the ResultsAndErrors side-channel
+   * (`FileOutput.py:66-90`, `TransformTask.py:19-51`): every transform
+   * emits good rows plus an error table; here one pass routes each
+   * record with a reason, no second scan.
+   */
+  def errorSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("route",
+        when(col("event_type") === "error", "error")
+          .when(col("k").isNull, "error")
+          .otherwise("ok"))
+      .withColumn("reason",
+        when(col("event_type") === "error", "upstream_error")
+          .when(col("k").isNull, "bad_props"))
+      .select(col("event_id"), col("route"), col("reason"), col("event_type"), col("k"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_enrich" -> txEnrich _,
+    "transfer_extract" -> transferExtract _,
+    "block_metrics" -> blockMetrics _,
+    "balance_inout" -> balanceInOut _,
+    "scaled_decimal" -> scaledDecimal _,
+    "entity_classify" -> entityClassify _,
+    "graph_edges" -> graphEdges _,
+    "json_extract" -> jsonExtract _,
+    "instr_flatten" -> instrFlatten _,
+    "error_split" -> errorSplit _)
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_enrich" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | count(l_partkey) AS num_items,
+        | coalesce(round(sum(l_quantity), 4), 0.0) AS sum_qty,
+        | count(DISTINCT l_suppkey) AS num_suppliers,
+        | coalesce(array_to_string(list_sort(list(DISTINCT l_suppkey) FILTER (l_suppkey IS NOT NULL)), ','), '') AS suppliers,
+        | coalesce(round(sum(CASE WHEN signed_value > 0 THEN signed_value ELSE 0 END), 4), 0.0) AS value_in,
+        | coalesce(round(sum(CASE WHEN signed_value < 0 THEN signed_value ELSE 0 END), 4), 0.0) AS value_out
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |    CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END AS signed_value
+        |  FROM lineitem) li ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
+    "transfer_extract" ->
+      """SELECT event_id, user_id AS source,
+        | CAST(props->>'$.k' AS INTEGER) AS destination,
+        | 'credits' AS mint,
+        | CAST(round(value * 100, 0) AS BIGINT) AS value,
+        | 2 AS scale
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "block_metrics" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | count(*) AS n_orders,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 4) AS value_o,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS custs_o,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4) AS value_f,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS custs_f,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 4) AS value_p,
+        | count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN o_custkey END) AS custs_p,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "balance_inout" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN signed > 0 THEN signed ELSE 0 END), 4) AS value_in,
+        | round(sum(CASE WHEN signed < 0 THEN signed ELSE 0 END), 4) AS value_out,
+        | round(sum(signed), 4) AS value_all,
+        | round(sum(abs(signed)), 4) AS value_abs,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN event_type = 'purchase' THEN value
+        |             WHEN event_type = 'error' THEN -value
+        |             ELSE 0 END AS signed
+        |      FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "scaled_decimal" ->
+      """SELECT l_returnflag,
+        | sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents_total,
+        | count(*) AS n_items,
+        | 2 AS scale,
+        | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS value_scaled
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "entity_classify" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+        |            WHEN c_acctbal > 7000 THEN 'premium'
+        |            WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 'industrial'
+        |            ELSE 'retail' END AS account_type,
+        | count(*) AS n_accounts,
+        | count(DISTINCT c_nationkey) AS n_nations,
+        | round(sum(c_acctbal), 4) AS total_balance
+        |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_edges" ->
+      """SELECT o_custkey AS src, l_suppkey AS dst,
+        | count(*) AS n_interactions,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, event_type,
+        | CAST(props->>'$.k' AS INTEGER) AS k,
+        | CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+    "instr_flatten" ->
+      """SELECT l_orderkey,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_quantity) - 1 AS INTEGER) AS pos,
+        | l_partkey, l_quantity,
+        | concat(l_orderkey, '.',
+        |   row_number() OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber, l_partkey, l_quantity) - 1) AS gen_id
+        |FROM lineitem
+        |ORDER BY l_orderkey, pos""".stripMargin,
+    "error_split" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'error' THEN 'error'
+        |      WHEN CAST(props->>'$.k' AS INTEGER) IS NULL THEN 'error'
+        |      ELSE 'ok' END AS route,
+        | CASE WHEN event_type = 'error' THEN 'upstream_error'
+        |      WHEN CAST(props->>'$.k' AS INTEGER) IS NULL THEN 'bad_props' END AS reason,
+        | event_type,
+        | CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+}

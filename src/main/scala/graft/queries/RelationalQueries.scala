@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/**
+ * §A relational core — proves the engine is a real query engine before
+ * layering the reference's ETL semantics on top.
+ *
+ * Scale notes (100 TB): every query here keeps the fact table
+ * (lineitem/orders) on the probe side; dimension tables are broadcast
+ * explicitly. Aggregates are all partial-agg friendly (sum/count/min/
+ * max), so map-side combine halves shuffle volume. Floating-point
+ * aggregates are rounded at the output edge only, to absorb
+ * summation-order drift between partitions (and vs the DuckDB oracle).
+ */
+object RelationalQueries {
+
+  /** TPC-H Q1 shape: single-table scan + grouped derived-expression agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape: 3-way join, grouped agg, top-k. Customer dim broadcast. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: star join over all six tables, region-filtered. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+    val cust = broadcast(Tables.customer(spark, dir))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Window rank: top-3 parts by revenue within each brand. */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("part_revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("part_revenue").desc, col("p_partkey"))
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Left-semi + left-anti: customers with at least one order but none above the cap. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(ord.filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP aggregation: order value by nation × order-year with subtotals. */
+  def rollupNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    ord.rollup(col("n_name"), col("o_year"))
+      .agg(round(sum(col("o_totalprice")), 4).as("total_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_year"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "q_top_k_per_group" -> topKPerGroup _,
+    "q_semi_anti" -> semiAnti _,
+    "q_rollup" -> rollupNationYear _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_top_k_per_group" ->
+      """WITH part_rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, part_revenue, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY part_revenue DESC, p_partkey) AS rnk
+        |  FROM part_rev) t
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT n_name, o_year,
+        | round(sum(o_totalprice), 4) AS total_value,
+        | count(*) AS n_orders
+        |FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey) t
+        |GROUP BY ROLLUP (n_name, o_year)
+        |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin)
+}
