@@ -13,10 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
-      EtlQueries.queries
+      EtlQueries.queries ++
+      TrainingDataQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++
-      EtlQueries.oracleSql
+      EtlQueries.oracleSql ++
+      TrainingDataQueries.oracleSql
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * Scale design: NOTHING here is all-pairs over the corpus. Candidate
+ * pairs always come from an equi-join on a blocking key (content hash,
+ * shared shingle, LSH band, SimHash band), so the shuffle is keyed and
+ * the quadratic blowup is confined to within-block groups. Frequent
+ * shingles (stop-shingles) are dropped before the self-join — at 100 TB
+ * a single shingle shared by 10^6 docs would otherwise create a 10^12
+ * -row join block; `maxShingleFreq` caps that and loses only
+ * candidates that share *only* ubiquitous (hence uninformative)
+ * shingles.
+ */
+object Dedup {
+
+  /** Exact dedup: group documents by content hash, keep the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct (id, shingle) pairs with stop-shingle filtering. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleFreq: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleFreq)
+    sh.join(rare, "s").select(col("doc"), col("s"))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidates =
+   * pairs sharing ≥1 (non-ubiquitous) shingle; Jaccard computed from
+   * shared-shingle counts, never by materializing both shingle sets
+   * on one node.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n, maxShingleFreq).cache()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("inter"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /**
+   * MinHash + banded LSH candidate pairs. Signatures are row-local
+   * (no shuffle); the only shuffle is the band-bucket self-join.
+   * bands×rowsPerBand = signature length; P(candidate) ≈
+   * 1-(1-j^rows)^bands — 16×4 targets j ≳ 0.6.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("doc"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")), ","))))
+        .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit signature, banded into 4×16-bit
+   * blocks — any pair within hamming distance 3 shares at least one
+   * intact block (pigeonhole), so the block join finds all such pairs
+   * without an all-pairs scan.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("doc"), words(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", simhash64("toks"))
+      .select(col("doc"), col("sig"))
+    // shiftright with a per-band offset needs SQL (literal-only in the DSL)
+    val banded = sigs.selectExpr("doc", "sig",
+        "posexplode(transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS block)))")
+      .select(col("doc"), col("sig"),
+        col("col.band").as("band"), col("col.block").as("block"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs ≥ threshold (exact). This is the
+   * *verify* stage of near-dup detection: at scale, candidates come
+   * from `Similarity.hyperplaneCode` buckets first (see `ann_lsh`);
+   * the exact all-pairs form below is used where the corpus fits a
+   * shuffle (and by the oracle at test SF).
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val withNorm = d.withColumn("nrm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", round(
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Text-analysis operators for training-data pipelines: quality
+ * scoring, language identification, token counting, fingerprinting.
+ * All pure column expressions — single scan, codegen'd, no UDFs,
+ * embarrassingly parallel at any scale.
+ */
+object TextAnalysis {
+
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den")
+  val FrStop = Seq("le", "la", "les", "et", "est", "un", "une", "des")
+  val EsStop = Seq("el", "los", "las", "y", "es", "un", "una", "de")
+
+  // long-typed (DuckDB len()/count() are BIGINT — keep schemas aligned)
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop: _*))).cast("long")
+
+  /**
+   * Heuristic quality score from surface statistics: length saturation,
+   * punctuation/digit density, stopword coverage.
+   */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      round(length(regexp_replace(t, "\\s", "")) / size(ws).cast("double"), 4).as("avg_word_len"),
+      round(length(t).minus(length(regexp_replace(t, "[.,!?;:]", ""))) /
+        length(t).cast("double"), 6).as("punct_ratio"),
+      round(length(t).minus(length(regexp_replace(t, "[0-9]", ""))) /
+        length(t).cast("double"), 6).as("digit_ratio"),
+      round(hits(ws, EnStop) / size(ws).cast("double"), 6).as("stop_ratio"))
+    .withColumn("quality",
+      round(least(lit(1.0), col("n_words") / 100.0) * 0.5 +
+        (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10)) * 0.25 +
+        least(lit(1.0), col("stop_ratio") * 5) * 0.25, 4))
+    .orderBy(col(idCol))
+  }
+
+  /**
+   * Stopword-profile language guess: count hits against per-language
+   * stopword lists, pick the argmax with a fixed precedence
+   * (en > de > fr > es), 'unknown' when nothing matches.
+   */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol),
+        hits(ws, EnStop).as("en_hits"), hits(ws, DeStop).as("de_hits"),
+        hits(ws, FrStop).as("fr_hits"), hits(ws, EsStop).as("es_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+          col("de_hits") > 0, "de")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("unknown"))
+      .orderBy(col(idCol))
+  }
+
+  /**
+   * Token counts: whitespace tokens and a BPE-ish segmentation
+   * (letter runs / single digits / single punctuation), the standard
+   * pre-tokenizer shape for byte-pair encoders.
+   */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(words(col(textCol))).cast("long").as("ws_tokens"),
+        regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"))
+      .withColumn("tokens_ratio",
+        round(col("bpe_tokens") / col("ws_tokens").cast("double"), 4))
+      .orderBy(col(idCol))
+
+  /**
+   * Content fingerprint: normalize (lowercase, strip non-alnum,
+   * collapse whitespace) then hash; join back the fingerprint group
+   * size — documents sharing a fingerprint are normalization-equal.
+   */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val fps = df.select(col(idCol), md5(norm).as("fp"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("canonical_id"))
+    fps.join(groups, "fp")
+      .select(col(idCol), col("fp"), col("group_size"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+      .orderBy(col(idCol))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * §C/§D/§E — training-data pipeline operators bound to the testdata
+ * `documents` and `embeddings` tables. The operators themselves live in
+ * `graft.operators`; these wrappers fix the parameters the oracle
+ * checks. Queries without an oracle entry (MinHash/SimHash/ANN-LSH) are
+ * hash-family-specific and get the driver's rows-only check; their
+ * exact counterparts (ngram-jaccard, embedding-cosine, knn-brute) ARE
+ * oracle-checked, which pins the semantics the approximate variants
+ * approximate.
+ */
+object TrainingDataQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)),
+    "knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 25, extraCols = Seq("label"))),
+    "ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = 64, maxCodeHamming = 4,
+        extraCols = Seq("label"))),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")))
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2)
+        |SELECT id1, id2, inter,
+        | round(inter * 1.0 / (x.szc + y.szc - inter), 6) AS jaccard
+        |FROM ints JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+    "knn_brute" ->
+      """SELECT e.vec_id, e.label,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, e.vec_id LIMIT 25""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        | length(text) AS n_chars,
+        | len(ws) AS n_words,
+        | round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(ws), 4) AS avg_word_len,
+        | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio,
+        | round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6) AS digit_ratio,
+        | round(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) AS stop_ratio,
+        | round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |   (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |   least(1.0, round(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein','zu','den'))) AS de_hits,
+        |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','des'))) AS fr_hits,
+        |  len(list_filter(ws, w -> w IN ('el','los','las','y','es','un','una','de'))) AS es_hits
+        | FROM t)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |      WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |      WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |      WHEN es_hits > 0 THEN 'es'
+        |      ELSE 'unknown' END AS lang_guess
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0 /
+        |   len(string_split_regex(lower(trim(text)), '\s+')), 4) AS tokens_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH fps AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        | FROM documents),
+        |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS canonical_id
+        |      FROM fps GROUP BY 1)
+        |SELECT doc_id, fp, group_size, doc_id = canonical_id AS is_canonical
+        |FROM fps JOIN g USING (fp) ORDER BY doc_id""".stripMargin)
+}
