@@ -14,11 +14,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       EtlQueries.queries ++
-      TrainingDataQueries.queries
+      TrainingDataQueries.queries ++
+      TemporalQueries.queries ++
+      graft.streaming.EventStreams.queries ++
+      graft.operators.Multimodal.queries
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++
       EtlQueries.oracleSql ++
-      TrainingDataQueries.oracleSql
+      TrainingDataQueries.oracleSql ++
+      TemporalQueries.oracleSql ++
+      graft.streaming.EventStreams.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: treat image/audio/video payloads as
+ * opaque `binary` columns with a typed metadata struct, and run
+ * feature extraction as a batched per-partition map (the Scala
+ * analogue of Python's mapInPandas/mapInArrow — rows stream through an
+ * iterator, the decoder touches one partition's batch at a time, and
+ * nothing is collected to the driver).
+ *
+ * The actual media decode is STUBBED (no image/audio libraries in this
+ * environment): `fakeDecode` derives deterministic pseudo-features
+ * from the payload bytes. The Spark-side contract — schema, binary
+ * payload handling, partition-parallel extraction, feature vector
+ * shape — is real and tested; swap `fakeDecode` for a JNI/library call
+ * to go live.
+ */
+object Multimodal {
+
+  case class Asset(asset_id: Long, media_type: String, payload: Array[Byte],
+      n_bytes: Long, width: Int, height: Int, part: Int)
+  case class AssetFeatures(asset_id: Long, media_type: String, n_bytes: Long,
+      checksum: Long, mean_byte: Double, feature: Array[Double])
+
+  /**
+   * Build a typed asset manifest from any table with an id and a
+   * payload-bearing string column (the testdata stand-in for real
+   * media bytes). Metadata (dimensions) is derived deterministically;
+   * `part` is the layout key a writer would partitionBy — co-locating
+   * assets so a downstream decode stage reads aligned batches.
+   */
+  def manifest(df: DataFrame, idCol: String, payloadCol: String,
+      nPartitions: Int = 32): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      when(pmod(xxhash64(col(idCol)), lit(3)) === 0, "image")
+        .when(pmod(xxhash64(col(idCol)), lit(3)) === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col(payloadCol).cast("binary").as("payload"),
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      (pmod(xxhash64(col(idCol), lit(1)), lit(1280)) + 32).cast("int").as("width"),
+      (pmod(xxhash64(col(idCol), lit(2)), lit(720)) + 32).cast("int").as("height"),
+      pmod(col(idCol), lit(nPartitions)).cast("int").as("part"))
+
+  /** Deterministic stand-in for a real media decoder (???-site). */
+  private def fakeDecode(payload: Array[Byte]): (Long, Double, Array[Double]) = {
+    var checksum = 1469598103934665603L // FNV-1a
+    var sum = 0L
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      checksum = (checksum ^ b) * 1099511628211L
+      sum += b
+      hist(b % 8) += 1.0
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    (checksum, sum.toDouble / n, hist.map(_ / n))
+  }
+
+  /**
+   * Batched per-partition feature extraction over a manifest.
+   * `mapPartitions` keeps the decoder call amortized across a
+   * partition's rows — the distributed shape of a vectorized UDF.
+   */
+  def extractFeatures(spark: SparkSession, manifestDf: DataFrame): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    manifestDf.as[Asset].mapPartitions { rows =>
+      rows.map { a =>
+        val (checksum, meanByte, feature) = fakeDecode(a.payload)
+        AssetFeatures(a.asset_id, a.media_type, a.n_bytes, checksum,
+          math.rint(meanByte * 10000) / 10000, feature.map(x => math.rint(x * 10000) / 10000))
+      }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest" -> ((s, d) =>
+      manifest(graft.Tables.documents(s, d), "doc_id", "text")
+        .drop("payload") // binary payload stays in the pipeline; dropped only for the dump
+        .orderBy(col("asset_id"))),
+    "mm_features" -> ((s, d) => {
+      val feats = extractFeatures(s, manifest(graft.Tables.documents(s, d), "doc_id", "text"))
+      feats.toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          col("checksum"), col("mean_byte"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 8), 4).as("f7"))
+        .orderBy(col("asset_id"))
+    }))
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/**
+ * Streaming operators over the `events` table, mirroring the
+ * reference's streaming mode (`ExtractStreaming.py`: RPC → transform →
+ * file, incrementally). Here the same transforms are declared once and
+ * run EITHER as Structured Streaming (readStream → windowed agg →
+ * sink) or as an identical batch plan — which is what the oracle
+ * checks.
+ *
+ * Scale notes: tumbling-window aggregation with a watermark keeps
+ * per-key state bounded; sessionization via window functions is a
+ * single shuffle on user_id (no per-group in-memory collection — the
+ * frame is computed by sort within partitions). The
+ * flatMapGroupsWithState variant for true streaming sessions lives in
+ * `Sessionize`.
+ */
+object EventStreams {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The windowed aggregation, declared once over any events relation. */
+  def windowAggPlan(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /**
+   * Runs the windowed agg as a real Structured Streaming query over
+   * the events parquet (memory sink, complete mode), returning the
+   * final result. Demonstrates that the identical plan serves both
+   * batch and streaming.
+   */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streams need a directory source; glob-filter to the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val name = s"graft_stream_window_${counter.incrementAndGet()}"
+    val q = windowAggPlan(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
+  /**
+   * Gap-based sessionization (30-minute inactivity) via window
+   * functions: a session break is a gap > threshold; session id is the
+   * running sum of breaks. Timestamps exported as epoch micros so the
+   * comparison is precision-independent.
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(us, 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(us).as("session_start_us"),
+        max(us).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
+    "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))))
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                    THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id,
+        | min(us) AS session_start_us, max(us) AS session_end_us,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
