@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ingest extracted block JSON (optionally gzipped — Spark decompresses
+ * by extension) into a blocks DataFrame. Mirrors the read side of the
+ * reference's `FileOutput` (dask `bag.read_text` over `*.json.gz`,
+ * `FileOutput.py:120-165`) as a schema'd distributed JSON scan.
+ *
+ * PERMISSIVE mode + `_corrupt_record` is the reference's
+ * ResultsAndErrors side-channel: malformed block files become error
+ * rows instead of failing the job (`FileOutput.py:66-90`).
+ *
+ * Scale: one file ≈ one or more splits; gzip is not splittable, so the
+ * extract side's `slots_per_file` grouping (small-ish files, many of
+ * them) is exactly the right layout for parallel ingest.
+ */
+object BlockIngest {
+
+  /** Read block JSON files; `source` = file name, like the reference's Block.source. */
+  def read(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .schema(BlockSchema.block)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(pathGlob)
+      .withColumn("source",
+        element_at(split(input_file_name(), "/"), -1))
+
+  /** Well-formed, non-missing blocks (`Block.py:40-47` missing check). */
+  def valid(blocks: DataFrame): DataFrame =
+    blocks.filter(col("_corrupt_record").isNull && col("result").isNotNull)
+
+  /** Malformed inputs as an error table (name, block, message). */
+  def errors(blocks: DataFrame): DataFrame =
+    blocks.filter(col("_corrupt_record").isNotNull || col("result").isNull)
+      .select(
+        lit("json_to_blocks").as("name"),
+        col("source").as("block"),
+        coalesce(col("_corrupt_record"), lit("missing result")).as("message"))
+}

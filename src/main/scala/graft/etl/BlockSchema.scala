@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.types._
+
+/**
+ * Spark schema for Solana `jsonParsed` block JSON, the shape the
+ * reference extracts from RPC and walks with its Python object model
+ * (`src/transform/Block.py:1-77`, `Transaction.py:27-31`,
+ * `Instruction.py:150-210` in zuyezheng/solana-etl).
+ *
+ * Declaring the schema up front (instead of inference) matters at
+ * scale: the JSON scan becomes a single pass with no sampling job, and
+ * column pruning reaches into the nested structs — a transform that
+ * only needs fees never parses instruction bodies.
+ *
+ * Notes vs the reference:
+ * - `meta.err` and `parsed.info` values are heterogeneous JSON; both
+ *   are captured as strings (Spark stringifies non-scalar tokens), and
+ *   typed accessors cast where needed.
+ * - accountKeys are the jsonParsed object form (pubkey/signer/
+ *   writable); the reference also accepts bare strings
+ *   (`Account.py:21-27`).
+ */
+object BlockSchema {
+
+  val instruction: StructType = StructType(Seq(
+    StructField("programId", StringType),
+    StructField("program", StringType),
+    StructField("parsed", StructType(Seq(
+      StructField("type", StringType),
+      StructField("info", MapType(StringType, StringType))))),
+    StructField("accounts", ArrayType(StringType)),
+    StructField("data", StringType)))
+
+  val tokenBalance: StructType = StructType(Seq(
+    StructField("accountIndex", IntegerType),
+    StructField("mint", StringType),
+    StructField("owner", StringType),
+    StructField("uiTokenAmount", StructType(Seq(
+      StructField("amount", StringType),
+      StructField("decimals", IntegerType))))))
+
+  val transaction: StructType = StructType(Seq(
+    StructField("meta", StructType(Seq(
+      StructField("err", StringType),
+      StructField("fee", LongType),
+      StructField("preBalances", ArrayType(LongType)),
+      StructField("postBalances", ArrayType(LongType)),
+      StructField("preTokenBalances", ArrayType(tokenBalance)),
+      StructField("postTokenBalances", ArrayType(tokenBalance)),
+      StructField("innerInstructions", ArrayType(StructType(Seq(
+        StructField("index", IntegerType),
+        StructField("instructions", ArrayType(instruction))))))))),
+    StructField("transaction", StructType(Seq(
+      StructField("signatures", ArrayType(StringType)),
+      StructField("message", StructType(Seq(
+        StructField("accountKeys", ArrayType(StructType(Seq(
+          StructField("pubkey", StringType),
+          StructField("signer", BooleanType),
+          StructField("writable", BooleanType))))),
+        StructField("instructions", ArrayType(instruction))))))))))
+
+  val block: StructType = StructType(Seq(
+    StructField("result", StructType(Seq(
+      StructField("blockhash", StringType),
+      StructField("blockTime", LongType),
+      StructField("parentSlot", LongType),
+      StructField("transactions", ArrayType(transaction))))),
+    StructField("_corrupt_record", StringType)))
+}

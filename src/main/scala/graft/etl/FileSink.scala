@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Load side of the pipeline: write each transform's table plus the
+ * error side-channel, as parquet or CSV — the reference's
+ * `FileOutput.write` + `FileOutputFormat` (`FileOutput.py:126-183`)
+ * with Spark writers.
+ *
+ * Scale: parquet is written partitioned (caller picks partition
+ * columns — e.g. a day derived from `time`); CSV kept only for parity
+ * with the reference's small-output mode. The reference's
+ * `keep_subdirs` layout maps to `partitionBy` on a path-derived
+ * column rather than driver-side directory loops.
+ */
+object FileSink {
+
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /**
+   * All three task tables + error table under `destDir`, mirroring the
+   * `{destination}_{task}` naming of the reference.
+   */
+  def writeAll(blocks: DataFrame, destDir: String, asCsv: Boolean = false): Unit = {
+    val out: (DataFrame, String) => Unit =
+      if (asCsv) (df, p) => writeCsv(df, p) else (df, p) => writeParquet(df, p)
+    out(SolanaTransforms.transactions(blocks), s"${destDir}_transactions")
+    out(SolanaTransforms.transfers(blocks), s"${destDir}_transfers")
+    out(SolanaTransforms.blockInfo(blocks), s"${destDir}_blocks")
+    out(BlockIngest.errors(blocks), s"${destDir}_errors")
+  }
+}

@@ -1,0 +1,198 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's three output tables (`TransformTask.py:106-206` in
+ * zuyezheng/solana-etl: TRANSACTIONS / TRANSFERS / BLOCKS), re-expressed
+ * as whole-relation Spark transforms over the ingested block JSON.
+ *
+ * Where the reference walks each transaction with a Python object
+ * model (`Transaction.py`, `Instruction.py`, `Transfer.py`), this
+ * implementation stays inside Catalyst: nested arrays are processed
+ * with higher-order functions (transform/filter/aggregate/zip_with) in
+ * a single projection per table — per-row work is codegen'd, blocks
+ * never leave the executors, and the only shuffle in the whole module
+ * is blockInfo's per-block aggregation.
+ *
+ * Determinism note: the reference serializes Python sets
+ * (`json.dumps(list(set))`) whose order is process-dependent; here all
+ * serialized sets are sorted.
+ */
+object SolanaTransforms {
+
+  /** Shared per-transaction intermediate: one row per transaction. */
+  def txLevel(blocks: DataFrame): DataFrame =
+    BlockIngest.valid(blocks)
+      .select(
+        col("result.blockTime").as("time"),
+        col("result.blockhash").as("blockhash"),
+        col("source").as("path"),
+        explode(col("result.transactions")).as("tx"))
+      .withColumn("keys",
+        expr("transform(tx.transaction.message.accountKeys, a -> a.pubkey)"))
+      // outer instructions each followed by their inner instructions
+      // (matched by outer index), like Instructions.flatten + the
+      // innerInstructions stitching in Transaction.instructions
+      // (Transaction.py:66-81)
+      .withColumn("flat_instr", expr(
+        """flatten(transform(tx.transaction.message.instructions, (ins, i) ->
+          |  CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
+          |       THEN array(ins)
+          |       ELSE concat(array(ins),
+          |         get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions)
+          |  END))""".stripMargin))
+      .withColumn("programs",
+        expr("array_sort(array_distinct(transform(flat_instr, x -> x.programId)))"))
+      .withColumn("lamports_out", expr(
+        """aggregate(zip_with(tx.meta.postBalances, tx.meta.preBalances, (a, b) -> a - b),
+          |  0L, (acc, x) -> acc + CASE WHEN x < 0 THEN x ELSE 0L END)""".stripMargin))
+      .withColumn("lamports_in", expr(
+        """aggregate(zip_with(tx.meta.postBalances, tx.meta.preBalances, (a, b) -> a - b),
+          |  0L, (acc, x) -> acc + CASE WHEN x > 0 THEN x ELSE 0L END)""".stripMargin))
+      .withColumn("lamports_all", expr(
+        """aggregate(zip_with(tx.meta.postBalances, tx.meta.preBalances, (a, b) -> a - b),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      // per-account-index token balance delta (TokenBalanceChange,
+      // Transaction.py:104-141): pre/post merged by accountIndex,
+      // missing side = 0; mint/decimals prefer post (the reference's
+      // `balance` variable is the last one seen)
+      .withColumn("token_changes", expr(
+        """transform(
+          |  array_union(transform(tx.meta.preTokenBalances, b -> b.accountIndex),
+          |              transform(tx.meta.postTokenBalances, b -> b.accountIndex)),
+          |  i -> named_struct(
+          |    'idx', i,
+          |    'key', get(keys, i),
+          |    'mint', coalesce(
+          |       get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).mint,
+          |       get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).mint),
+          |    'change',
+          |       coalesce(try_cast(get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.amount AS LONG), 0L)
+          |     - coalesce(try_cast(get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.amount AS LONG), 0L),
+          |    'decimals', coalesce(
+          |       get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.decimals,
+          |       get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.decimals)))""".stripMargin))
+      .withColumn("token_keys",
+        expr("array_sort(filter(array_distinct(transform(token_changes, c -> c.key)), k -> k IS NOT NULL))"))
+      .withColumn("mints",
+        expr("array_sort(array_distinct(transform(token_changes, c -> c.mint)))"))
+      .withColumn("has_vote",
+        expr("exists(flat_instr, x -> coalesce(x.program = 'vote', false))"))
+      .withColumn("signature", expr("get(tx.transaction.signatures, 0)"))
+      .withColumn("fee", col("tx.meta.fee"))
+      .withColumn("is_successful", col("tx.meta.err").isNull)
+
+  /** TRANSACTIONS table (TransformTask.py:106-137 column contract). */
+  def transactions(blocks: DataFrame): DataFrame =
+    txLevel(blocks)
+      .withColumn("sysvar_keys",
+        expr("array_sort(filter(keys, k -> lower(k) LIKE 'sysvar%'))"))
+      .withColumn("coin_keys", expr(
+        """array_sort(filter(keys, k ->
+          |  NOT lower(k) LIKE 'sysvar%' AND
+          |  NOT array_contains(programs, k) AND
+          |  NOT coalesce(array_contains(token_keys, k), false)))""".stripMargin))
+      .select(
+        col("time"),
+        col("signature"),
+        col("fee"),
+        col("is_successful").as("isSuccessful"),
+        size(col("flat_instr")).as("numInstructions"),
+        to_json(col("programs")).as("programs"),
+        size(col("keys")).as("numAccounts"),
+        to_json(struct(
+          col("sysvar_keys").as("SYSVAR"), col("programs").as("PROGRAM"),
+          col("token_keys").as("TOKEN"), col("coin_keys").as("COIN"))).as("accountsByType"),
+        col("lamports_out").as("lamportsOut"),
+        col("lamports_in").as("lamportsIn"),
+        size(col("mints")).as("numMints"),
+        to_json(col("mints")).as("mints"),
+        expr(
+          """to_json(map_from_entries(transform(mints, m -> struct(m,
+            |  CAST(aggregate(filter(token_changes, c -> c.mint = m AND c.change < 0),
+            |       0L, (acc, c) -> acc + c.change) AS DOUBLE)
+            |  / power(10, get(filter(token_changes, c -> c.mint = m), 0).decimals)))))""".stripMargin)
+          .as("tokensOut"),
+        expr(
+          """to_json(map_from_entries(transform(mints, m -> struct(m,
+            |  CAST(aggregate(filter(token_changes, c -> c.mint = m AND c.change > 0),
+            |       0L, (acc, c) -> acc + c.change) AS DOUBLE)
+            |  / power(10, get(filter(token_changes, c -> c.mint = m), 0).decimals)))))""".stripMargin)
+          .as("tokensIn"),
+        col("blockhash"),
+        col("path"))
+
+  /**
+   * TRANSFERS table (TransformTask.py:138-152): system:transfer (coin,
+   * lamports, scale 9) and spl-token:transfer (amount unscaled, scale =
+   * decimals from the token balance change of source else destination,
+   * `Transfer.py:40-72`) from flattened instructions of successful
+   * transactions. Token transfers with no balance-change match are
+   * dropped (the reference raises → error channel).
+   */
+  def transfers(blocks: DataFrame): DataFrame = {
+    val instr = txLevel(blocks)
+      .filter(col("is_successful"))
+      .select(col("time"), col("blockhash"), col("path"), col("signature"),
+        col("token_changes"), explode(col("flat_instr")).as("ins"))
+    val coin = instr
+      .filter(expr("ins.program = 'system' AND ins.parsed.type = 'transfer'"))
+      .select(
+        col("time"),
+        expr("try_element_at(ins.parsed.info, 'source')").as("source"),
+        expr("try_element_at(ins.parsed.info, 'destination')").as("destination"),
+        lit("sol").as("mint"),
+        expr("try_cast(try_element_at(ins.parsed.info, 'lamports') AS LONG)").as("value"),
+        lit(9).as("scale"),
+        col("signature").as("transaction"),
+        col("blockhash"), col("path"))
+    val token = instr
+      .filter(expr("ins.program = 'spl-token' AND ins.parsed.type = 'transfer'"))
+      .withColumn("matched", expr(
+        """coalesce(
+          |  get(filter(token_changes, c -> c.key = try_element_at(ins.parsed.info, 'source')), 0),
+          |  get(filter(token_changes, c -> c.key = try_element_at(ins.parsed.info, 'destination')), 0))""".stripMargin))
+      .filter(col("matched").isNotNull)
+      .select(
+        col("time"),
+        expr("try_element_at(ins.parsed.info, 'source')").as("source"),
+        expr("try_element_at(ins.parsed.info, 'destination')").as("destination"),
+        col("matched.mint").as("mint"),
+        expr("try_cast(try_element_at(ins.parsed.info, 'amount') AS LONG)").as("value"),
+        col("matched.decimals").as("scale"),
+        col("signature").as("transaction"),
+        col("blockhash"), col("path"))
+    coin.unionByName(token)
+  }
+
+  /** BLOCKS table (TransformTask.py:153-178): per-block metrics split successful × errored. */
+  def blockInfo(blocks: DataFrame): DataFrame = {
+    val tx = txLevel(blocks)
+    def side(prefix: String, cond: org.apache.spark.sql.Column) = Seq(
+      count(when(cond, 1)).as(if (prefix == "successful") "numSuccessful" else "numErrors"),
+      count(when(cond && col("has_vote"), 1)).as(s"${prefix}Votes"),
+      count(when(cond && col("lamports_all") =!= -col("fee"), 1))
+        .as(s"${prefix}TransactionsMoreThanFee"),
+      count(when(cond && col("lamports_all") === -col("fee"), 1))
+        .as(s"${prefix}TransactionsOnlyFee"),
+      sum(when(cond, col("fee")).otherwise(0L)).as(s"${prefix}Fees"),
+      sum(when(cond, col("lamports_out")).otherwise(0L)).as(s"${prefix}BalanceChange"),
+      size(array_distinct(flatten(collect_list(when(cond, col("programs"))))))
+        .as(s"${prefix}ProgramAccounts"),
+      size(array_distinct(flatten(collect_list(when(cond,
+        expr("""filter(keys, k ->
+          |  NOT lower(k) LIKE 'sysvar%' AND
+          |  NOT array_contains(programs, k) AND
+          |  NOT coalesce(array_contains(token_keys, k), false))""".stripMargin))))))
+        .as(s"${prefix}CoinAccounts"),
+      size(array_distinct(flatten(collect_list(when(cond, col("token_keys"))))))
+        .as(s"${prefix}TokenAccounts"))
+    val aggs = Seq(count(lit(1)).as("numTransactions")) ++
+      side("successful", col("is_successful")) ++
+      side("error", !col("is_successful"))
+    tx.groupBy(col("time"), col("blockhash").as("hash"), col("path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

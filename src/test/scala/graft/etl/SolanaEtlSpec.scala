@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Semantic parity spec for the solana-etl mirror, against hand-built
+ * fixture blocks (src/test/resources/blocks): one gzipped block with a
+ * successful mixed transaction (coin transfer + inner token transfer +
+ * vote) and an errored vote, one plain block with an only-fee
+ * transfer, one corrupt file.
+ */
+class SolanaEtlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixtures = getClass.getResource("/blocks").getPath
+  private lazy val blocks = BlockIngest.read(spark, s"$fixtures/*")
+
+  test("corrupt files land in the error table, valid blocks parse") {
+    assert(BlockIngest.valid(blocks).count() == 2)
+    val errs = BlockIngest.errors(blocks).collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("block") == "block_bad.json")
+  }
+
+  test("transactions table matches the reference's per-tx metrics") {
+    val txs = SolanaTransforms.transactions(blocks)
+      .collect().map(r => r.getAs[String]("signature") -> r).toMap
+    assert(txs.size == 3)
+
+    val tx1 = txs("sig1")
+    assert(tx1.getAs[Boolean]("isSuccessful"))
+    assert(tx1.getAs[Long]("fee") == 5000L)
+    // outer system-transfer + its inner spl transfer + vote = 3 flattened
+    assert(tx1.getAs[Int]("numInstructions") == 3)
+    assert(tx1.getAs[String]("programs") ==
+      """["11111111111111111111111111111111","TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA","Vote111111111111111111111111111111111111111"]""")
+    assert(tx1.getAs[Int]("numAccounts") == 9)
+    assert(tx1.getAs[Long]("lamportsOut") == -10005000L)
+    assert(tx1.getAs[Long]("lamportsIn") == 9999000L)
+    assert(tx1.getAs[Int]("numMints") == 1)
+    assert(tx1.getAs[String]("mints") == """["mintM1"]""")
+    assert(tx1.getAs[String]("tokensOut") == """{"mintM1":-3.0}""")
+    assert(tx1.getAs[String]("tokensIn") == """{"mintM1":3.0}""")
+    val byType = tx1.getAs[String]("accountsByType")
+    assert(byType.contains(""""SYSVAR":["SysvarC1ock11111111111111111111111111111111"]"""))
+    assert(byType.contains(""""TOKEN":["tokA","tokB"]"""))
+    assert(byType.contains(""""COIN":["alice","authX","bob"]"""))
+
+    val tx2 = txs("sig2")
+    assert(!tx2.getAs[Boolean]("isSuccessful"))
+    assert(tx2.getAs[String]("mints") == "[]")
+
+    val tx3 = txs("sig3")
+    assert(tx3.getAs[Long]("lamportsOut") == -2005000L)
+    assert(tx3.getAs[Long]("lamportsIn") == 2000000L)
+  }
+
+  test("transfers table extracts coin and token transfers of successful txs") {
+    val rows = SolanaTransforms.transfers(blocks).collect()
+      .map(r => (r.getAs[String]("transaction"), r.getAs[String]("mint"),
+        r.getAs[String]("source"), r.getAs[String]("destination"),
+        r.getAs[Long]("value"), r.getAs[Int]("scale"))).toSet
+    assert(rows == Set(
+      ("sig1", "sol", "alice", "bob", 10000000L, 9),
+      ("sig1", "mintM1", "tokA", "tokB", 300L, 2),
+      ("sig3", "sol", "dave", "eve", 2000000L, 9)))
+  }
+
+  test("blockInfo matches the reference's 22-column per-block metrics") {
+    val byHash = SolanaTransforms.blockInfo(blocks)
+      .collect().map(r => r.getAs[String]("hash") -> r).toMap
+    val b1 = byHash("hashAAA")
+    assert(b1.getAs[Long]("numTransactions") == 2)
+    assert(b1.getAs[Long]("numSuccessful") == 1)
+    assert(b1.getAs[Long]("successfulVotes") == 1)
+    assert(b1.getAs[Long]("successfulTransactionsMoreThanFee") == 1)
+    assert(b1.getAs[Long]("successfulTransactionsOnlyFee") == 0)
+    assert(b1.getAs[Long]("successfulFees") == 5000)
+    assert(b1.getAs[Long]("successfulBalanceChange") == -10005000L)
+    assert(b1.getAs[Int]("successfulProgramAccounts") == 3)
+    assert(b1.getAs[Int]("successfulCoinAccounts") == 3)
+    assert(b1.getAs[Int]("successfulTokenAccounts") == 2)
+    assert(b1.getAs[Long]("numErrors") == 1)
+    assert(b1.getAs[Long]("errorVotes") == 1)
+    assert(b1.getAs[Long]("errorTransactionsOnlyFee") == 1)
+    assert(b1.getAs[Long]("errorFees") == 5000)
+    assert(b1.getAs[Long]("errorBalanceChange") == -5000L)
+    // tx2's program set is {Vote…}; its SYS account key is unused by
+    // instructions so it classifies as COIN — faithful to the reference
+    assert(b1.getAs[Int]("errorProgramAccounts") == 1)
+    assert(b1.getAs[Int]("errorCoinAccounts") == 2)
+
+    val b2 = byHash("hashBBB")
+    assert(b2.getAs[Long]("numTransactions") == 1)
+    assert(b2.getAs[Long]("successfulTransactionsOnlyFee") == 1)
+  }
+
+  test("file sink writes all task tables plus errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    FileSink.writeAll(blocks, s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out_transactions").count() == 3)
+    assert(spark.read.parquet(s"$dir/out_transfers").count() == 3)
+    assert(spark.read.parquet(s"$dir/out_blocks").count() == 2)
+    assert(spark.read.parquet(s"$dir/out_errors").count() == 1)
+  }
+}
