@@ -63,24 +63,26 @@ object Dedup {
   }
 
   /**
-   * MinHash + banded LSH candidate pairs. Signatures are row-local
-   * (no shuffle); the only shuffle is the band-bucket self-join.
+   * MinHash + banded LSH candidate pairs. Signatures come from ONE
+   * explode of the shingle set followed by k min-aggregates (map-side
+   * partial min, one shuffle keyed on doc) — shingle construction runs
+   * once per document, never once per hash function (inlining the
+   * shingle expression into all k lambdas blows the plan up ~k×).
    * bands×rowsPerBand = signature length; P(candidate) ≈
    * 1-(1-j^rows)^bands — 16×4 targets j ≳ 0.6.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol).as("doc"), wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = withSig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(transform(
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast("string")), ","))))
-        .as(Seq("band", "bucket")))
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("s"))
+    val sigs = sh.groupBy(col("doc"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
+    val banded = sigs.select(col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band", "bucket")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -97,11 +99,21 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("doc"), words(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("sig", simhash64("toks"))
-      .select(col("doc"), col("sig"))
+    // one explode + 64 conditional sums (hash each token once, not
+    // once per bit); the signature long is assembled from the 64
+    // aggregated bit votes with literal shifts
+    val toks = df
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(words(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitVotes = toks.groupBy(col("doc"))
+      .agg(sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1L).otherwise(-1L)).as("b0"),
+        (1 until 64).map(b =>
+          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b")): _*)
+    val sigs = bitVotes.select(col("doc"),
+      (0 until 64).map(b =>
+        shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
+        .reduce(_ bitwiseOR _).as("sig"))
     // shiftright with a per-band offset needs SQL (literal-only in the DSL)
     val banded = sigs.selectExpr("doc", "sig",
         "posexplode(transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS block)))")
@@ -126,14 +138,13 @@ object Dedup {
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
     val d = df.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    val withNorm = d.withColumn("nrm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val withNorm = d.withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos", round(
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 6))
+        dotd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
       .orderBy(col("id1"), col("id2"))

@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  import graft.functions.VectorFunctions.dotd
+
   /** Cast to double and attach the L2 norm. */
   private def withNorm(df: DataFrame, idCols: Seq[String], vecCol: String): DataFrame =
     df.select(idCols.map(col) :+ transform(col(vecCol), _.cast("double")).as("v"): _*)
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = dotd(a, b)
 
   /**
    * Exact top-k by cosine against the embedding of `queryId`.
@@ -59,6 +60,47 @@ object Similarity {
       when(d >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bits.reduce(_ + _)
+  }
+
+  /**
+   * IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+   * vector to a centroid; a query probes only the `nProbe` nearest
+   * centroids' lists and runs exact cosine there. The centroid set is
+   * the model (driver-held, tiny); the corpus stays distributed and at
+   * scale would be written partitioned by `cluster` so a probe reads
+   * only its lists' files.
+   */
+  def ivfAnn(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = withNorm(df, idCol +: extraCols, vecCol)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(corpus.select(col("fv")))
+    val assigned = model.transform(corpus)
+
+    // model parameters + the single query vector: driver-side by design
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val qnrm = math.sqrt(qv.map(x => x * x).sum)
+    def cosTo(c: Array[Double]): Double = {
+      val d = c.zip(qv).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) -1 else d / (n * qnrm)
+    }
+    val probes = model.clusterCenters.map(_.toArray).zipWithIndex
+      .sortBy { case (c, _) => -cosTo(c) }.take(nProbe).map(_._2)
+
+    val qvCol = array(qv.map(lit): _*)
+    assigned
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*) && col(idCol) =!= queryId)
+      .withColumn("cos", round(dot(col("v"), qvCol) / (col("nrm") * lit(qnrm)), 6))
+      .select((idCol +: extraCols).map(col) :+ col("cluster") :+ col("cos"): _*)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /**

@@ -40,6 +40,10 @@ object TrainingDataQueries {
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, dim = 64, maxCodeHamming = 4,
         extraCols = Seq("label"))),
+    "ivf_ann" -> ((s, d) =>
+      Similarity.ivfAnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCentroids = 16, nProbe = 2,
+        extraCols = Seq("label"))),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>

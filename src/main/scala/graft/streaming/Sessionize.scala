@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * True streaming sessionization via flatMapGroupsWithState — the
+ * stateful mirror of `EventStreams.sessionize` (whose window-function
+ * form is the batch/oracle path). State per user is one open session
+ * (bounded); sessions emit when the inactivity gap passes or the
+ * watermark times the group out.
+ *
+ * The reference's streaming mode (`ExtractStreaming.py`) keeps
+ * per-slot accumulations in process memory; here the state store is
+ * checkpointed and partitioned by key, so a 1000-executor job holds
+ * 1/1000th of the users each.
+ */
+object Sessionize {
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, total_value: Double)
+
+  def gapUs(minutes: Int): Long = minutes * 60L * 1000000L
+
+  /**
+   * Pure per-group transition: fold sorted events into closed sessions
+   * + open tail. Shared by the streaming operator and its batch spec.
+   */
+  def fold(events: Seq[Ev], gap: Long, open: Option[SessionState]):
+      (Seq[SessionState], Option[SessionState]) = {
+    val sorted = events.sortBy(_.ts_us)
+    sorted.foldLeft((Vector.empty[SessionState], open)) { case ((closed, cur), e) =>
+      cur match {
+        case Some(s) if e.ts_us - s.endUs <= gap =>
+          (closed, Some(SessionState(s.startUs, e.ts_us, s.n + 1, s.total + e.value)))
+        case Some(s) =>
+          (closed :+ s, Some(SessionState(e.ts_us, e.ts_us, 1, e.value)))
+        case None =>
+          (closed, Some(SessionState(e.ts_us, e.ts_us, 1, e.value)))
+      }
+    }
+  }
+
+  def update(gap: Long)(userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(Session(userId, s.startUs, s.endUs, s.n, s.total))
+    } else {
+      val (closed, open) = fold(events.toSeq, gap, state.getOption)
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutDuration(gap / 1000L)
+      }
+      closed.iterator.map(s => Session(userId, s.startUs, s.endUs, s.n, s.total))
+    }
+  }
+
+  /** Attach to a streaming Dataset[Ev] grouped by user. */
+  def sessions(spark: SparkSession, events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        update(gapUs(gapMinutes)))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventStreams, Sessionize}
+
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds the planted near-duplicate pair only") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and often"
+    val c = "completely different words in this document entirely unrelated text"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash lsh recovers near-identical pairs and skips distinct ones") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"
+    val c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val got = Dedup.minhashLshPairs(df, "id", "text")
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(got.contains((1L, 2L)) && !got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash distance 0 for identical token multisets") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "zz yy xx ww vv uu")).toDF("id", "text")
+    val got = Dedup.simhashPairs(df, "id", "text").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Int]("hamming")))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("knn brute ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to query
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnBrute(vecs, "vec_id", "embedding", 0L, 2, Seq("label"))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("language id picks the majority stopword profile") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier")).toDF("id", "text")
+    val got = TextAnalysis.langId(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("lang_guess")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("fingerprint equates normalization-equal documents") {
+    val df = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "bye")).toDF("id", "text")
+    val got = TextAnalysis.fingerprint(df, "id", "text").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("group_size"), r.getAs[Boolean]("is_canonical")))
+    assert(got.toSet == Set((1L, 2L, true), (2L, 2L, false), (3L, 1L, true)))
+  }
+
+  test("as-of join fills latest earlier value per key") {
+    val left = Seq((1L, "2024-01-01 10:00:00", "e1"), (1L, "2024-01-01 12:00:00", "e2"))
+      .toDF("k", "t", "ev").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((1L, "2024-01-01 09:00:00", 5.0), (1L, "2024-01-01 11:00:00", 7.0),
+      (1L, "2024-01-01 13:00:00", 9.0))
+      .toDF("k", "rt", "price").withColumn("rt", col("rt").cast("timestamp"))
+    val got = AsOf.asOfJoin(left, right, "k", "t", "rt", Seq("price"))
+      .orderBy("t").collect().map(r => (r.getAs[String]("ev"), r.getAs[Double]("price")))
+    assert(got.toSeq == Seq(("e1", 5.0), ("e2", 7.0)))
+  }
+
+  test("sessionize splits on gaps in both window and stateful forms") {
+    val base = 1700000000000000L
+    val evs = Seq(
+      Sessionize.Ev(1L, base, 1.0),
+      Sessionize.Ev(1L, base + 60L * 1000000, 2.0),            // +1 min: same session
+      Sessionize.Ev(1L, base + 7200L * 1000000, 3.0),          // +2 h: new session
+      Sessionize.Ev(2L, base, 4.0))
+    // batch/window form
+    val df = evs.toDF().select(col("user_id"),
+      timestamp_micros(col("ts_us")).as("ts"), col("value"),
+      col("ts_us").as("event_id"))
+    val w = EventStreams.sessionize(df, 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(w.toSet == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+    // stateful fold (the flatMapGroupsWithState transition function)
+    val (closed, open) = Sessionize.fold(evs.filter(_.user_id == 1L), Sessionize.gapUs(30), None)
+    assert(closed.map(s => (s.n, s.total)) == Seq((2L, 3.0)))
+    assert(open.map(s => (s.n, s.total)).contains((1L, 3.0)))
+  }
+
+  test("multimodal manifest + feature extraction round-trips deterministically") {
+    val df = Seq((1L, "abcdef"), (2L, "ghijkl")).toDF("doc_id", "text")
+    val m = Multimodal.manifest(df, "doc_id", "text")
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.asset_id)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(_.feature.length == 8))
+  }
+
+  test("ivf ann returns neighbors from probed clusters ranked by cosine") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, base.map(_ + rng.nextFloat() * 0.01f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfAnn(vecs, "vec_id", "embedding", 0L, 5,
+      nCentroids = 2, nProbe = 1, extraCols = Seq("label"))
+      .collect().map(_.getAs[Int]("label"))
+    assert(got.length == 5 && got.forall(_ == 0))
+  }
+}
