@@ -114,6 +114,32 @@ object EtlQueries {
   }
 
   /**
+   * The same IN/OUT aggregation via skew-resistant two-phase salting
+   * (`operators.Salt`) — identical results, but the hot-key shuffle is
+   * spread over `salts` sub-keys first. user_id has ~15 distinct
+   * values: exactly the shape that serializes onto 15 reducers at
+   * 100 TB without salting.
+   */
+  def balanceInOutSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("signed",
+      when(col("event_type") === "purchase", col("value"))
+        .when(col("event_type") === "error", -col("value"))
+        .otherwise(lit(0.0)))
+    graft.operators.Salt.saltedAgg(ev, Seq("user_id"), salts = 32)(Seq(
+      sum(when(col("signed") > 0, col("signed")).otherwise(0.0)).as("in_p"),
+      sum(when(col("signed") < 0, col("signed")).otherwise(0.0)).as("out_p"),
+      sum(col("signed")).as("all_p"),
+      sum(abs(col("signed"))).as("abs_p"),
+      count(lit(1)).as("n_p")))(Seq(
+      round(sum(col("in_p")), 4).as("value_in"),
+      round(sum(col("out_p")), 4).as("value_out"),
+      round(sum(col("all_p")), 4).as("value_all"),
+      round(sum(col("abs_p")), 4).as("value_abs"),
+      sum(col("n_p")).as("n_events")))
+      .orderBy(col("user_id"))
+  }
+
+  /**
    * Scaled-integer arithmetic ≈ `NumberWithScale` (`NumberWithScale.py`):
    * money carried as integer cents + scale, summed exactly as int64
    * (associative, drift-free at any parallelism), floated only at the
@@ -221,6 +247,7 @@ object EtlQueries {
     "transfer_extract" -> transferExtract _,
     "block_metrics" -> blockMetrics _,
     "balance_inout" -> balanceInOut _,
+    "balance_inout_salted" -> balanceInOutSalted _,
     "scaled_decimal" -> scaledDecimal _,
     "entity_classify" -> entityClassify _,
     "graph_edges" -> graphEdges _,
@@ -267,6 +294,21 @@ object EtlQueries {
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "balance_inout" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN signed > 0 THEN signed ELSE 0 END), 4) AS value_in,
+        | round(sum(CASE WHEN signed < 0 THEN signed ELSE 0 END), 4) AS value_out,
+        | round(sum(signed), 4) AS value_all,
+        | round(sum(abs(signed)), 4) AS value_abs,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN event_type = 'purchase' THEN value
+        |             WHEN event_type = 'error' THEN -value
+        |             ELSE 0 END AS signed
+        |      FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical semantics to balance_inout — the salted plan must
+    // produce the same answer
+    "balance_inout_salted" ->
       """SELECT user_id,
         | round(sum(CASE WHEN signed > 0 THEN signed ELSE 0 END), 4) AS value_in,
         | round(sum(CASE WHEN signed < 0 THEN signed ELSE 0 END), 4) AS value_out,

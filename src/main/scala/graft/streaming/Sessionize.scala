@@ -43,7 +43,7 @@ object Sessionize {
     }
   }
 
-  def update(gap: Long)(userId: Long, events: Iterator[Ev],
+  def update(gap: Long, withTimeout: Boolean)(userId: Long, events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {
       val s = state.get
@@ -53,17 +53,27 @@ object Sessionize {
       val (closed, open) = fold(events.toSeq, gap, state.getOption)
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutDuration(gap / 1000L)
+        if (withTimeout) state.setTimeoutDuration(gap / 1000L)
       }
       closed.iterator.map(s => Session(userId, s.startUs, s.endUs, s.n, s.total))
     }
   }
 
-  /** Attach to a streaming Dataset[Ev] grouped by user. */
-  def sessions(spark: SparkSession, events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+  /**
+   * Attach to a streaming Dataset[Ev] grouped by user. Default is
+   * NoTimeout: a session closes when the user's next event arrives
+   * past the gap. `withTimeout=true` also closes idle sessions on a
+   * processing-time timer — correct for production, but it makes the
+   * engine trigger continuous empty micro-batches, so synchronous
+   * drivers (processAllAvailable) never see the stream go idle.
+   */
+  def sessions(spark: SparkSession, events: Dataset[Ev], gapMinutes: Int = 30,
+      withTimeout: Boolean = false): Dataset[Session] = {
     import spark.implicits._
+    val timeout =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        update(gapUs(gapMinutes)))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        update(gapUs(gapMinutes), withTimeout))
   }
 }
