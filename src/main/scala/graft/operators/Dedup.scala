@@ -27,11 +27,18 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (id, shingle) pairs with stop-shingle filtering. */
+  /**
+   * Distinct (id, shingle-hash) pairs with stop-shingle filtering.
+   * Shingles are 64-bit-hashed immediately: the self-join shuffles
+   * and compares fixed-width longs instead of multi-word strings
+   * (collision probability ~n²/2⁶⁴ — irrelevant for candidate
+   * generation and set-size counting).
+   */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxShingleFreq: Int): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("s"))
+        explode(array_distinct(wordShingles(col(textCol), n))).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleFreq)
     sh.join(rare, "s").select(col("doc"), col("s"))

@@ -106,7 +106,58 @@ object RelationalQueries {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_year"))
   }
 
+  /** Running total per customer: window frame ROWS UNBOUNDED PRECEDING. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Correlated-scalar shape: orders above their customer's average value. */
+  def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cust_avg_raw", avg(col("o_totalprice")).over(w))
+      // the avg itself is not emitted: engines disagree in its last
+      // ulp, which flips fixed-precision rounding at grid boundaries;
+      // the comparison is ulp-robust, the rounded echo is not
+      .filter(col("o_totalprice") > col("cust_avg_raw"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot: order value by month × status as columns. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum(col("o_totalprice")), 4))
+      .orderBy(col("month"))
+
+  /**
+   * Sketch-based distinct counting (HyperLogLog++) next to the exact
+   * count — the 100 TB path for distinct-heavy metrics. Approximate ⇒
+   * rows-only check (no DuckDB oracle).
+   */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_total" -> runningTotal _,
+    "q_above_avg" -> aboveCustomerAvg _,
+    "q_pivot" -> pivotStatus _,
+    "q_approx_distinct" -> approxDistinct _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -115,6 +166,25 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING), 4) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM (SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg_raw
+        |      FROM orders) t
+        |WHERE o_totalprice > cust_avg_raw
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Proves the co-located join layout: two tables bucketed by the join
+ * key join WITHOUT any shuffle exchange — the physical plan contains
+ * no ShuffleExchange over the join inputs. This is the 100 TB answer
+ * to repeated fact⋈fact joins: pay the partitioning once at write
+ * time, never again at read time.
+ */
+class BucketedJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("lineitem_b")
+
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(round(sum(col("l_extendedprice")), 4).as("total"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    val shufflesInJoin = "Exchange hashpartitioning\\(o_orderkey".r
+      .findAllIn(plan).size
+    assert(shufflesInJoin == 0, s"expected no join-key shuffle, plan:\n$plan")
+    assert(joined.count() == 3)
+  }
+}
