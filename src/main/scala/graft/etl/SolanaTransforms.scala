@@ -84,6 +84,33 @@ object SolanaTransforms {
       .withColumn("fee", col("tx.meta.fee"))
       .withColumn("is_successful", col("tx.meta.err").isNull)
 
+  /**
+   * Tree-preserving instruction filter ≈ `Instructions.filter` with
+   * flatten=False (`Instruction.py:78-96, 250-262`): an outer
+   * instruction is kept when it matches (program, type) itself OR any
+   * of its inner instructions match; kept outers carry their filtered
+   * inner list. Returns per-transaction match counts.
+   */
+  def filterInstructionTree(blocks: DataFrame, programName: String,
+      instructionType: String): DataFrame = {
+    def matches(v: String) =
+      s"coalesce($v.program = '$programName' AND $v.parsed.type = '$instructionType', false)"
+    txLevel(blocks)
+      .withColumn("kept", expr(
+        s"""filter(transform(tx.transaction.message.instructions, (ins, i) ->
+           |  named_struct(
+           |    'self_match', ${matches("ins")},
+           |    'inner_kept', filter(
+           |      CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
+           |           THEN filter(tx.transaction.message.instructions, z -> false)
+           |           ELSE get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions
+           |      END, nn -> ${matches("nn")}))),
+           |  o -> o.self_match OR size(o.inner_kept) > 0)""".stripMargin))
+      .select(col("signature"),
+        size(col("kept")).as("n_outer_kept"),
+        expr("aggregate(kept, 0, (a, o) -> a + size(o.inner_kept))").as("n_inner_kept"))
+  }
+
   /** TRANSACTIONS table (TransformTask.py:106-137 column contract). */
   def transactions(blocks: DataFrame): DataFrame =
     txLevel(blocks)

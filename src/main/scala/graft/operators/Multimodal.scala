@@ -78,7 +78,28 @@ object Multimodal {
     }
   }
 
+  /**
+   * Frame sampling plumbing: one asset row fans out to its sampled
+   * frames (every `stride`-th frame of `bytesPerFrame` bytes) with the
+   * byte offset a real decoder would seek to. The explode is the
+   * scalable shape — frames land in the same partition as their asset,
+   * no shuffle — and the per-frame "feature" is the deterministic stub
+   * standing in for the codec call.
+   */
+  def sampleFrames(manifestDf: DataFrame, bytesPerFrame: Int = 256,
+      stride: Int = 2): DataFrame =
+    manifestDf.filter(col("media_type") === "video")
+      .withColumn("n_frames",
+        greatest(ceil(col("n_bytes") / bytesPerFrame).cast("int"), lit(1)))
+      .select(col("asset_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx").cast("long") * bytesPerFrame)
+      .withColumn("frame_hash", xxhash64(col("asset_id"), col("frame_idx")))
+      .orderBy(col("asset_id"), col("frame_idx"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frames" -> ((s, d) =>
+      sampleFrames(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_manifest" -> ((s, d) =>
       manifest(graft.Tables.documents(s, d), "doc_id", "text")
         .drop("payload") // binary payload stays in the pipeline; dropped only for the dump

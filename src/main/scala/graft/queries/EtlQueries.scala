@@ -189,6 +189,30 @@ object EtlQueries {
       .orderBy(col("src"), col("dst"))
 
   /**
+   * Node degree metrics over the interaction graph ≈ what the
+   * reference's `GraphBuilder` (`GraphBuilder.py:1-16`) loads into
+   * neo4j: per node, in/out degree and flow totals, from the edge
+   * list. One union + one keyed aggregation.
+   */
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("w"))
+    val out = edges.select(col("src").as("node"), lit("cust").as("side"),
+      lit(1L).as("out_n"), col("w").as("out_w"), lit(0L).as("in_n"), lit(0.0).as("in_w"))
+    val in = edges.select(col("dst").as("node"), lit("supp").as("side"),
+      lit(0L).as("out_n"), lit(0.0).as("out_w"), lit(1L).as("in_n"), col("w").as("in_w"))
+    out.unionByName(in)
+      .groupBy(col("node"), col("side"))
+      .agg(sum(col("out_n")).as("out_degree"),
+        round(sum(col("out_w")), 4).as("out_value"),
+        sum(col("in_n")).as("in_degree"),
+        round(sum(col("in_w")), 4).as("in_value"))
+      .orderBy(col("side"), col("node"))
+  }
+
+  /**
    * Schema'd JSON extraction ≈ `Block`/`Instruction` JSON parsing
    * (`Block.py`, `Instruction.py:150-210`): pull typed fields out of a
    * JSON string column. Codegen'd path expression, no UDF.
@@ -251,6 +275,7 @@ object EtlQueries {
     "scaled_decimal" -> scaledDecimal _,
     "entity_classify" -> entityClassify _,
     "graph_edges" -> graphEdges _,
+    "graph_degrees" -> graphDegrees _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
     "error_split" -> errorSplit _)
@@ -345,6 +370,21 @@ object EtlQueries {
         | round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_value
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "graph_degrees" ->
+      """WITH edges AS (
+        |  SELECT o_custkey AS src, l_suppkey AS dst,
+        |    l_extendedprice * (1 - l_discount) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sides AS (
+        |  SELECT src AS node, 'cust' AS side, 1::BIGINT AS out_n, w AS out_w,
+        |    0::BIGINT AS in_n, 0.0 AS in_w FROM edges
+        |  UNION ALL
+        |  SELECT dst AS node, 'supp' AS side, 0::BIGINT AS out_n, 0.0 AS out_w,
+        |    1::BIGINT AS in_n, w AS in_w FROM edges)
+        |SELECT node, side,
+        | sum(out_n) AS out_degree, round(sum(out_w), 4) AS out_value,
+        | sum(in_n) AS in_degree, round(sum(in_w), 4) AS in_value
+        |FROM sides GROUP BY 1, 2 ORDER BY side, node""".stripMargin,
     "json_extract" ->
       """SELECT event_id, event_type,
         | CAST(props->>'$.k' AS INTEGER) AS k,

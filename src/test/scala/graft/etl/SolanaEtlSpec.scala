@@ -102,6 +102,22 @@ class SolanaEtlSpec extends AnyFunSuite {
     assert(b2.getAs[Long]("successfulTransactionsOnlyFee") == 1)
   }
 
+  test("instruction tree filter keeps outers with matching self or inner") {
+    // system:transfer matches tx1's outer[0] itself (its spl inner doesn't match)
+    val sys = SolanaTransforms.filterInstructionTree(blocks, "system", "transfer")
+      .collect().map(r => r.getAs[String]("signature") ->
+        (r.getAs[Int]("n_outer_kept"), r.getAs[Int]("n_inner_kept"))).toMap
+    assert(sys("sig1") == (1, 0))
+    assert(sys("sig2") == (0, 0))
+    assert(sys("sig3") == (1, 0))
+    // spl-token:transfer only matches tx1's INNER -> outer kept via inner
+    val spl = SolanaTransforms.filterInstructionTree(blocks, "spl-token", "transfer")
+      .collect().map(r => r.getAs[String]("signature") ->
+        (r.getAs[Int]("n_outer_kept"), r.getAs[Int]("n_inner_kept"))).toMap
+    assert(spl("sig1") == (1, 1))
+    assert(spl("sig3") == (0, 0))
+  }
+
   test("file sink writes all task tables plus errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     FileSink.writeAll(blocks, s"$dir/out")
