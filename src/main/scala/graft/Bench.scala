@@ -13,7 +13,11 @@ object Bench {
     // warm JIT/codegen on the smallest SF so the first timed query
     // doesn't absorb JVM warmup
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset, e.g. SPARK_GRAFT_ONLY=q1_agg,knn
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -17,6 +17,11 @@ object TextFunctions {
    * Word n-gram shingles (space-joined), empty array when the document
    * has fewer than n words. `sequence` would count DOWN for a negative
    * span, hence the explicit guard.
+   *
+   * NOTE: row-local and interpreted (transform/slice are higher-order
+   * functions) — fine for small ad-hoc use; bulk dedup paths use
+   * `Dedup.shingleHashes` (posexplode + lead(), fully codegen'd)
+   * instead.
    */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = words(text)

@@ -28,17 +28,35 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   /**
-   * Distinct (id, shingle-hash) pairs with stop-shingle filtering.
-   * Shingles are 64-bit-hashed immediately: the self-join shuffles
-   * and compares fixed-width longs instead of multi-word strings
-   * (collision probability ~n²/2⁶⁴ — irrelevant for candidate
-   * generation and set-size counting).
+   * Distinct (id, shingle-hash) rows. Shingles are built from an
+   * exploded word table with lead() windows — every step (explode,
+   * lead, concat, hash) is codegen'd. The row-local alternative
+   * (transform+slice+array_join over the word array) is an interpreted
+   * higher-order chain and benchmarked ~6× slower than the whole rest
+   * of the pipeline combined. Shingles are 64-bit-hashed immediately:
+   * downstream shuffles and joins carry fixed-width longs, and the
+   * ~n²/2⁶⁴ collision odds don't matter for candidate generation or
+   * set-size counts.
    */
+  private[operators] def shingleHashes(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val wordTable = df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = wordTable.select(col("doc") +: col("w").as("w0") +:
+      (1 until n).map(k => lead(col("w"), k).over(byDoc).as(s"w$k")): _*)
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull) // concat_ws would silently drop nulls
+      .select(col("doc"),
+        xxhash64(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("s"))
+      .distinct()
+  }
+
+  /** Shingle table with stop-shingle (document-frequency) capping. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxShingleFreq: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("s0"))
-      .select(col("doc"), xxhash64(col("s0")).as("s"))
+    val sh = shingleHashes(df, idCol, textCol, n)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleFreq)
     sh.join(rare, "s").select(col("doc"), col("s"))
@@ -53,7 +71,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 100): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n, maxShingleFreq).cache()
+    val sh = shingleTable(df, idCol, textCol, n, maxShingleFreq)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -81,8 +99,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = df.select(col(idCol).as("doc"),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("s"))
+    val sh = shingleHashes(df, idCol, textCol, n)
     val sigs = sh.groupBy(col("doc"))
       .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
