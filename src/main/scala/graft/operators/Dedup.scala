@@ -160,6 +160,36 @@ object Dedup {
    * the exact all-pairs form below is used where the corpus fits a
    * shuffle (and by the oracle at test SF).
    */
+  /**
+   * Blocked embedding near-dup — the 100 TB path: random-hyperplane
+   * codes (16 bits) banded 4×4; candidate pairs share at least one
+   * band value; exact cosine verifies. Recall is tunable via
+   * bands/planes; the all-pairs `embeddingNearDupPairs` is the oracle
+   * for what this approximates.
+   */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val coded = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+      .withColumn("code",
+        Similarity.hyperplaneCode(col("v"), dim, bands * planesPerBand))
+    val banded = coded.select(col("id"), col("v"), col("nrm"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("code"), b * planesPerBand)
+          .bitwiseAND(lit((1 << planesPerBand) - 1))
+      }: _*)).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(dotd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotd

@@ -22,8 +22,25 @@ object TemporalQueries {
         col("n_prior"))
       .orderBy(col("o_orderkey"))
 
+  /**
+   * Banded range join: ordered pairs of events from the same user
+   * within 5 minutes — the "what happened right after X" shape.
+   */
+  def eventPairsWithin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.select(col("user_id"), col("event_id").as("e1"), col("ts").as("t1"))
+    val right = ev.select(col("user_id"), col("event_id").as("e2"), col("ts").as("t2"))
+    graft.operators.RangeJoin.within(left, right, "user_id", "t1", "t2",
+        windowUs = 5L * 60 * 1000000)
+      .filter(col("e1") =!= col("e2"))
+      .select(col("user_id"), col("e1"), col("e2"),
+        (col("_rt") - col("_lt")).as("gap_us"))
+      .orderBy(col("e1"), col("e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join" -> asofPrevOrder _)
+    "asof_join" -> asofPrevOrder _,
+    "range_join" -> eventPairsWithin _)
 
   val oracleSql: Map[String, String] = Map(
     "asof_join" ->
@@ -34,5 +51,12 @@ object TemporalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "range_join" ->
+      """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        | AND a.event_id <> b.event_id
+        |ORDER BY e1, e2""".stripMargin)
 }

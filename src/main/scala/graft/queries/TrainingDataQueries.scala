@@ -33,6 +33,9 @@ object TrainingDataQueries {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, dim = 64)),
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 25, extraCols = Seq("label"))),
