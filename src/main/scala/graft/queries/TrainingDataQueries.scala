@@ -18,7 +18,30 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
  */
 object TrainingDataQueries {
 
+  /**
+   * End-to-end corpus curation — the operators composed the way a
+   * training-data pipeline uses them: drop near-duplicates (keep the
+   * lower doc_id of each Jaccard≥0.8 pair), then keep documents whose
+   * quality score clears a bar. Output is the curated manifest.
+   */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      .select(col("id2").as("doc_id")).distinct()
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"), col("n_words"))
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        col("n_words"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate" -> corpusCurate _,
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -57,6 +80,33 @@ object TrainingDataQueries {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")))
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_curate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT id2 FROM ints
+        |         JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |         WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
+        |q AS (SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |    (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |    least(1.0, round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality
+        | FROM w JOIN documents USING (doc_id))
+        |SELECT d.doc_id, d.lang, d.n_chars, q.n_words, q.quality
+        |FROM documents d
+        |LEFT JOIN dups ON d.doc_id = dups.id2
+        |JOIN q ON q.doc_id = d.doc_id
+        |WHERE dups.id2 IS NULL AND q.quality >= 0.5
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

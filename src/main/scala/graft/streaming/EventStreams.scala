@@ -78,9 +78,26 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /**
+   * Same sessions via Spark's built-in session_window — the idiomatic
+   * form (state merging handled by the engine; works identically under
+   * Structured Streaming with a watermark). Session end is
+   * last-event + gap by definition of session_window.
+   */
+  def sessionWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
-    "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))))
+    "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
     "stream_window_agg" ->
@@ -101,5 +118,25 @@ object EventStreams {
         |SELECT user_id, session_id,
         | min(us) AS session_start_us, max(us) AS session_end_us,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window end = last event + gap; the window is
+    // end-EXCLUSIVE, so an event at exactly prev+gap opens a NEW
+    // session — hence >= here where the lag-based sessionize uses >
+    "stream_session_window" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                    THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g)
+        |SELECT user_id,
+        | min(us) AS session_start_us,
+        | max(us) + 1800000000 AS session_end_us,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)
 }
