@@ -29,6 +29,53 @@ object BlockIngest {
       .withColumn("source",
         element_at(split(input_file_name(), "/"), -1))
 
+  /**
+   * Read legacy extracts whose accountKeys are bare strings and
+   * normalize them to the jsonParsed struct form (signer/writable
+   * unknown → null), so the transform layer has ONE input shape.
+   */
+  def readStringKeys(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .schema(BlockSchema.blockWithStringKeys)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(pathGlob)
+      .withColumn("source", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("result", expr(
+        """CASE WHEN result IS NULL THEN NULL ELSE named_struct(
+          |  'blockhash', result.blockhash,
+          |  'blockTime', result.blockTime,
+          |  'parentSlot', result.parentSlot,
+          |  'transactions', transform(result.transactions, tx -> named_struct(
+          |    'meta', tx.meta,
+          |    'transaction', named_struct(
+          |      'signatures', tx.transaction.signatures,
+          |      'message', named_struct(
+          |        'accountKeys', transform(tx.transaction.message.accountKeys,
+          |          k -> named_struct('pubkey', k,
+          |                 'signer', CAST(NULL AS BOOLEAN),
+          |                 'writable', CAST(NULL AS BOOLEAN))),
+          |        'instructions', tx.transaction.message.instructions))))) END""".stripMargin))
+
+  /**
+   * Format-tolerant read: jsonParsed files parse directly; files that
+   * only parse under the legacy string-keys schema are normalized and
+   * merged in; files valid under neither stay as error rows. Both
+   * passes are metadata-cheap scans of the same listing — no driver
+   * loops, the routing is two left-semi joins on file name.
+   */
+  def readAuto(spark: SparkSession, pathGlob: String): DataFrame = {
+    val parsed = read(spark, pathGlob)
+    val legacy = readStringKeys(spark, pathGlob)
+    val parsedBadSources = errors(parsed).select(col("block").as("source"))
+    val legacyOnlyValid = valid(legacy)
+      .join(parsedBadSources, Seq("source"), "left_semi")
+    val bothBad = legacy
+      .filter(col("_corrupt_record").isNotNull || col("result").isNull)
+      .join(parsedBadSources, Seq("source"), "left_semi")
+    valid(parsed).unionByName(legacyOnlyValid).unionByName(bothBad)
+  }
+
   /** Well-formed, non-missing blocks (`Block.py:40-47` missing check). */
   def valid(blocks: DataFrame): DataFrame =
     blocks.filter(col("_corrupt_record").isNull && col("result").isNotNull)

@@ -67,4 +67,22 @@ object BlockSchema {
       StructField("parentSlot", LongType),
       StructField("transactions", ArrayType(transaction))))),
     StructField("_corrupt_record", StringType)))
+
+  /**
+   * Pre-jsonParsed extracts carry accountKeys as bare strings
+   * (`Account.py:21-27` accepts both forms). Same block schema with
+   * the string-array variant; `BlockIngest.readStringKeys` normalizes
+   * to the struct form so every transform runs unchanged.
+   */
+  val blockWithStringKeys: StructType = {
+    def replaceKeys(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.map { f =>
+        if (f.name == "accountKeys") f.copy(dataType = ArrayType(StringType))
+        else f.copy(dataType = replaceKeys(f.dataType))
+      })
+      case ArrayType(e, n) => ArrayType(replaceKeys(e), n)
+      case other => other
+    }
+    replaceKeys(block).asInstanceOf[StructType]
+  }
 }

@@ -18,7 +18,7 @@ object EtlDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val blocks = BlockIngest.read(spark, glob)
+    val blocks = BlockIngest.readAuto(spark, glob)
     FileSink.writeAll(blocks, dest)
     Seq("transactions", "transfers", "blocks", "errors").foreach { t =>
       println(s"$t: ${spark.read.parquet(s"${dest}_$t").count()} rows")

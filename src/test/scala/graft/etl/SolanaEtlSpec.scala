@@ -118,6 +118,28 @@ class SolanaEtlSpec extends AnyFunSuite {
     assert(spl("sig3") == (0, 0))
   }
 
+  test("legacy string accountKeys normalize and flow through transforms") {
+    val legacy = BlockIngest.readStringKeys(spark,
+      getClass.getResource("/blocks_legacy").getPath + "/*")
+    val txs = SolanaTransforms.transactions(legacy).collect()
+    assert(txs.length == 1)
+    assert(txs.head.getAs[String]("signature") == "sigL1")
+    assert(txs.head.getAs[Long]("lamportsOut") == -3005000L)
+    val tr = SolanaTransforms.transfers(legacy).collect()
+    assert(tr.map(r => (r.getAs[String]("source"), r.getAs[String]("destination"),
+      r.getAs[Long]("value"))).toSeq == Seq(("frank", "grace", 3000000L)))
+  }
+
+  test("readAuto merges jsonParsed and legacy files, keeps true errors") {
+    val root = getClass.getResource("/blocks").getPath
+      .stripSuffix("/blocks")
+    val auto = BlockIngest.readAuto(spark, s"$root/block*/*.json*")
+    assert(BlockIngest.valid(auto).count() == 3)
+    assert(SolanaTransforms.transactions(auto).count() == 4)
+    assert(BlockIngest.errors(auto).collect()
+      .map(_.getAs[String]("block")).toSeq == Seq("block_bad.json"))
+  }
+
   test("file sink writes all task tables plus errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     FileSink.writeAll(blocks, s"$dir/out")
