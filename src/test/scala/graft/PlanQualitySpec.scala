@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape guards: these queries' physical plans must keep the
+ * properties the 100 TB design depends on. A regression here (a lost
+ * broadcast hint, a filter that stops pushing down, an accidental
+ * cartesian) is a scale bug even when results stay correct.
+ */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q5 star join broadcasts every dimension, never sort-merges") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 filter reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("pairwise dedup paths never plan a cartesian product") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "range_join")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
+  test("knn's only nested-loop is the broadcast one-row query vector") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
