@@ -23,14 +23,22 @@ import org.apache.spark.sql.types._
  */
 object BlockSchema {
 
+  /**
+   * `parsed` is captured as the RAW JSON text, not a struct: programs
+   * like spl-memo put a plain string there (`Instruction.py:168-171`),
+   * and a struct-typed field would corrupt the whole block row on such
+   * instructions. `SolanaTransforms` re-parses it with `from_json`
+   * (object → typed struct, memo string → null struct + memo column).
+   */
   val instruction: StructType = StructType(Seq(
     StructField("programId", StringType),
     StructField("program", StringType),
-    StructField("parsed", StructType(Seq(
-      StructField("type", StringType),
-      StructField("info", MapType(StringType, StringType))))),
+    StructField("parsed", StringType),
     StructField("accounts", ArrayType(StringType)),
     StructField("data", StringType)))
+
+  /** DDL for the object form of `parsed`, for from_json. */
+  val parsedDdl = "type STRING, info MAP<STRING, STRING>"
 
   val tokenBalance: StructType = StructType(Seq(
     StructField("accountIndex", IntegerType),

@@ -37,12 +37,23 @@ object SolanaTransforms {
       // innerInstructions stitching in Transaction.instructions
       // (Transaction.py:66-81)
       .withColumn("flat_instr", expr(
-        """flatten(transform(tx.transaction.message.instructions, (ins, i) ->
-          |  CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
-          |       THEN array(ins)
-          |       ELSE concat(array(ins),
-          |         get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions)
-          |  END))""".stripMargin))
+        s"""transform(
+          |  flatten(transform(tx.transaction.message.instructions, (ins, i) ->
+          |    CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
+          |         THEN array(ins)
+          |         ELSE concat(array(ins),
+          |           get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions)
+          |    END)),
+          |  ins -> named_struct(
+          |    'programId', ins.programId,
+          |    'program', ins.program,
+          |    'parsed', from_json(ins.parsed, '${BlockSchema.parsedDdl}'),
+          |    'memo', CASE WHEN ins.parsed IS NOT NULL
+          |        AND from_json(ins.parsed, '${BlockSchema.parsedDdl}').type IS NULL
+          |        AND from_json(ins.parsed, '${BlockSchema.parsedDdl}').info IS NULL
+          |      THEN ins.parsed END,
+          |    'accounts', ins.accounts,
+          |    'data', ins.data))""".stripMargin))
       .withColumn("programs",
         expr("array_sort(array_distinct(transform(flat_instr, x -> x.programId)))"))
       .withColumn("lamports_out", expr(
@@ -94,7 +105,9 @@ object SolanaTransforms {
   def filterInstructionTree(blocks: DataFrame, programName: String,
       instructionType: String): DataFrame = {
     def matches(v: String) =
-      s"coalesce($v.program = '$programName' AND $v.parsed.type = '$instructionType', false)"
+      s"""coalesce($v.program = '$programName' AND
+         |  from_json($v.parsed, '${BlockSchema.parsedDdl}').type = '$instructionType',
+         |  false)""".stripMargin
     txLevel(blocks)
       .withColumn("kept", expr(
         s"""filter(transform(tx.transaction.message.instructions, (ins, i) ->

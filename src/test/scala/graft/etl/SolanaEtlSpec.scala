@@ -60,6 +60,19 @@ class SolanaEtlSpec extends AnyFunSuite {
     val tx3 = txs("sig3")
     assert(tx3.getAs[Long]("lamportsOut") == -2005000L)
     assert(tx3.getAs[Long]("lamportsIn") == 2000000L)
+    // the spl-memo instruction (parsed = plain string) must not
+    // corrupt the row, and its program joins the set
+    assert(tx3.getAs[Int]("numInstructions") == 2)
+    assert(tx3.getAs[String]("programs").contains("MemoSq4gqABAXKb96qnH8TysNcWxMyWCqXgDLGmfcHr"))
+  }
+
+  test("memo text is captured from string-parsed instructions") {
+    import org.apache.spark.sql.functions._
+    val got = SolanaTransforms.txLevel(blocks)
+      .select(explode(col("flat_instr")).as("ins"))
+      .filter(col("ins.memo").isNotNull)
+      .select(col("ins.memo")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello memo"))
   }
 
   test("transfers table extracts coin and token transfers of successful txs") {
