@@ -124,6 +124,16 @@ object SolanaTransforms {
         expr("aggregate(kept, 0, (a, o) -> a + size(o.inner_kept))").as("n_inner_kept"))
   }
 
+  /**
+   * Find a transaction by any of its signatures ≈
+   * `Block.find_transaction` (`Block.py:70-77`) — except as a
+   * predicate-pushed scan over all blocks rather than a per-block
+   * linear walk.
+   */
+  def findTransaction(blocks: DataFrame, signature: String): DataFrame =
+    txLevel(blocks).filter(
+      array_contains(col("tx.transaction.signatures"), signature))
+
   /** TRANSACTIONS table (TransformTask.py:106-137 column contract). */
   def transactions(blocks: DataFrame): DataFrame =
     txLevel(blocks)

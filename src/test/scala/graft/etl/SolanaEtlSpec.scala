@@ -66,6 +66,12 @@ class SolanaEtlSpec extends AnyFunSuite {
     assert(tx3.getAs[String]("programs").contains("MemoSq4gqABAXKb96qnH8TysNcWxMyWCqXgDLGmfcHr"))
   }
 
+  test("findTransaction locates a transaction by signature") {
+    val hit = SolanaTransforms.findTransaction(blocks, "sig2").collect()
+    assert(hit.length == 1 && hit.head.getAs[String]("blockhash") == "hashAAA")
+    assert(SolanaTransforms.findTransaction(blocks, "nope").isEmpty)
+  }
+
   test("memo text is captured from string-parsed instructions") {
     import org.apache.spark.sql.functions._
     val got = SolanaTransforms.txLevel(blocks)
