@@ -153,7 +153,59 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Trailing 90-day revenue per customer: RANGE interval frame. */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val ninetyDaysUs = 90L * 24 * 3600 * 1000000
+    val w = Window.partitionBy(col("o_custkey")).orderBy(us)
+      .rangeBetween(-ninetyDaysUs, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 4).as("trailing_90d"),
+        count(lit(1)).over(w).as("n_orders_90d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  /** INTERSECT / EXCEPT set algebra on customer populations. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    val delinquent = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    building.intersect(bigSpenders).except(delinquent)
+      .orderBy(col("custkey"))
+  }
+
+  /** argmax aggregation: each customer's most expensive order (deterministic tie-break). */
+  def argmaxOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("best_orderkey"),
+        round(max(col("o_totalprice")), 4).as("best_price"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trailing_window" -> trailingWindow _,
+    "q_percentiles" -> percentiles _,
+    "q_set_ops" -> setOps _,
+    "q_argmax" -> argmaxOrder _,
     "q_running_total" -> runningTotal _,
     "q_above_avg" -> aboveCustomerAvg _,
     "q_pivot" -> pivotStatus _,
@@ -166,6 +218,36 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_trailing_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER w, 4) AS trailing_90d,
+        | count(*) OVER w AS n_orders_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |             RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+        | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+        | EXCEPT
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0) t
+        |ORDER BY custkey""".stripMargin,
+    // max_by on struct(price, orderkey) == the row_number desc/desc row
+    "q_argmax" ->
+      """SELECT o_custkey, o_orderkey AS best_orderkey,
+        | round(o_totalprice, 4) AS best_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | round(sum(o_totalprice) OVER (
