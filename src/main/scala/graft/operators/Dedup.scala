@@ -63,23 +63,49 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidates =
-   * pairs sharing ≥1 (non-ubiquitous) shingle; Jaccard computed from
-   * shared-shingle counts, never by materializing both shingle sets
-   * on one node.
+   * Exact n-gram Jaccard near-dup pairs ≥ threshold, with PPJoin-style
+   * candidate pruning (exact — no recall loss):
+   *
+   *  1. size bound: jaccard(A,B) ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ, so
+   *     the candidate join condition carries the size-ratio predicate;
+   *  2. positional prefix filter: under a global shingle order
+   *     (rarest-first by document frequency), any pair with overlap
+   *     ≥ ⌈τ·sz⌉ must share a shingle among each doc's first
+   *     sz − ⌈τ·sz⌉ + 1 shingles — so only that prefix is indexed
+   *     for candidate generation. At τ=0.8 that indexes ~20% of
+   *     shingles, cutting the self-join's row count ~25× versus
+   *     joining the full shingle table against itself.
+   *
+   * The exact intersection count is then computed only for surviving
+   * candidate pairs (candidates ⋈ shingles ⋈ shingles, both joins
+   * equi-keyed), never by materializing both shingle sets on one node.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 100): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n, maxShingleFreq)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+    // rarest-first total order → smallest possible candidate blocks
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df_count"), col("s"))
+    val dfCounts = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
+    val prefix = sh.join(dfCounts, "s").join(sizes, "doc")
+      .withColumn("rank", row_number().over(byRarity))
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc"), col("s"), col("sz"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+          col("a.sz") * threshold <= col("b.sz") &&
+          col("b.sz") * threshold <= col("a.sz"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .distinct()
+    val inter = candidates
+      .join(sh.as("sa"), col("sa.doc") === col("id1"))
+      .join(sh.as("sb"), col("sb.doc") === col("id2") && col("sb.s") === col("sa.s"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("sz", "sz2"), "id2")
       .withColumn("jaccard",
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
