@@ -216,6 +216,51 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /**
+   * Connected components over an undirected edge list via alternating
+   * large-star / small-star (the MapReduce CC algorithm: Kiveris et
+   * al., "Connected Components in MapReduce and Beyond"). Converges in
+   * O(log² n) rounds; every round is two keyed shuffles — no
+   * driver-side graph, no assumption a component fits anywhere.
+   * `localCheckpoint` truncates lineage each round so the plan doesn't
+   * grow with iteration count. Returns (node, component) where
+   * component = min node id in the component; only nodes that appear
+   * in an edge are returned (isolated nodes are their own component by
+   * definition — callers left-join).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // directed larger→smaller, self-loops dropped
+    var edges = pairs.select(
+        greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // large-star: every neighbor larger than u links to min(Γ(u)∪{u})
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nbrs.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: all (smaller) neighbors + u itself link to the min
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ssRows = ls.join(ssMin, "u")
+      val ss = ssRows.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssRows.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss
+      iter += 1
+    }
+    // fixpoint is a star per component: u → component min, plus the min itself
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotd

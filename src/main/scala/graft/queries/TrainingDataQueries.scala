@@ -40,8 +40,33 @@ object TrainingDataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Near-dup clustering: jaccard pairs → connected components →
+   * every document labeled with its component (min doc_id) and the
+   * component size. The missing last stage of a dedup pipeline — pair
+   * lists alone under-remove (A~B, B~C but A~C unreported leaves a
+   * dup); transitive closure fixes that.
+   */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"))
+    labeled.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> corpusCurate _,
+    "dedup_components" -> dedupComponents _,
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -80,6 +105,32 @@ object TrainingDataQueries {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")))
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
+        |und AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+        |reach(u, v) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |szs AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.component, s.comp_size
+        |FROM lab l JOIN szs s USING (component) ORDER BY l.doc_id""".stripMargin,
     "corpus_curate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),

@@ -131,4 +131,29 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getAs[Int]("label"))
     assert(got.length == 5 && got.forall(_ == 0))
   }
+
+  test("connected components matches union-find on random graphs") {
+    val rng = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 40
+      val edges = (0 until 50).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // canonical label = min node in the component
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root).min.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      assert(got == expected)
+    }
+  }
 }
