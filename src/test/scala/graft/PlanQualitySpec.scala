@@ -47,4 +47,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("no query in the registry plans an unkeyed cartesian product") {
+    // exact all-pairs verify stages are the documented exception: their
+    // non-equi self-join is a BroadcastNestedLoopJoin at oracle SF and
+    // their scale path is the corresponding *_lsh / banded variant.
+    val allPairsOk = Set("dedup_embedding")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !allPairsOk(name)) {
+      assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
 }
