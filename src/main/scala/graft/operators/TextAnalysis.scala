@@ -82,6 +82,36 @@ object TextAnalysis {
       .orderBy(col(idCol))
 
   /**
+   * Top-k TF-IDF-weighted terms per document. The weight is the
+   * integer-exact `tf * 1e6 div df` (reciprocal document frequency
+   * scaled to ppm) rather than `tf·ln(N/df)`: rank order per document
+   * is what matters, reciprocal-df preserves it for fixed tf, and the
+   * integer arithmetic makes the ranking bit-identical across engines
+   * (ln() differs in the last ulp between libm and the JVM, which
+   * would make a float ORDER BY nondeterministic across the oracle
+   * boundary). Two shuffles, both keyed on what they aggregate
+   * (doc×term, then term); the top-k window re-uses the doc key.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /**
    * Content fingerprint: normalize (lowercase, strip non-alnum,
    * collapse whitespace) then hash; join back the fingerprint group
    * size — documents sharing a fingerprint are normalization-equal.

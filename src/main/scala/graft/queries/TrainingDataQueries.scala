@@ -102,7 +102,9 @@ object TrainingDataQueries {
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
     "doc_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")))
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "tfidf_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)))
 
   def oracleSql: Map[String, String] = Map(
     "dedup_components" ->
@@ -228,6 +230,17 @@ object TrainingDataQueries {
         | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0 /
         |   len(string_split_regex(lower(trim(text)), '\s+')), 4) AS tokens_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score_ppm
+        |           FROM tf JOIN dfreq USING (term)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_ppm DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, tf, df, score_ppm, rk
+        |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
     "doc_fingerprint" ->
       """WITH fps AS (SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
