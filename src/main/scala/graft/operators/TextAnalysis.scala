@@ -82,6 +82,23 @@ object TextAnalysis {
       .orderBy(col(idCol))
 
   /**
+   * Deterministic train/valid/test split by content-hash range: the
+   * first md5 nibble of the id buckets 75 / 12.5 / 12.5. Hash-based
+   * splits are how training pipelines carve eval sets at scale —
+   * reproducible across runs/engines, stable under re-partitioning and
+   * corpus growth (a document's split never changes), no RNG state to
+   * coordinate across 1000 executors.
+   */
+  def corpusSplit(df: DataFrame, idCol: String): DataFrame = {
+    val nib = substring(md5(col(idCol).cast("string").cast("binary")), 1, 1)
+    df.select(col(idCol),
+        when(nib.isin("c", "d"), "valid")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Top-k TF-IDF-weighted terms per document. The weight is the
    * integer-exact `tf * 1e6 div df` (reciprocal document frequency
    * scaled to ppm) rather than `tf·ln(N/df)`: rank order per document

@@ -104,7 +104,9 @@ object TrainingDataQueries {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "tfidf_terms" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)))
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)),
+    "corpus_split" -> ((s, d) =>
+      TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")))
 
   def oracleSql: Map[String, String] = Map(
     "dedup_components" ->
@@ -229,6 +231,12 @@ object TrainingDataQueries {
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
         | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0 /
         |   len(string_split_regex(lower(trim(text)), '\s+')), 4) AS tokens_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c','d') THEN 'valid'
+        |      WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('e','f') THEN 'test'
+        |      ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,

@@ -94,12 +94,45 @@ object EventStreams {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /**
+   * Streaming dedup: first event per (user_id, event_type), run as a
+   * real append-mode stream with stateful dropDuplicates, then
+   * aggregated (batch) to a deterministic shape — WHICH duplicate wins
+   * depends on arrival order, so the oracle checks the key set, not
+   * the winners. Keys here carry no event-time column, so state is
+   * exact (never evicted); at 100 TB the bounded-state form is
+   * `dropDuplicatesWithinWatermark`, which trades exactness across
+   * the watermark horizon for O(window) state.
+   */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
