@@ -97,7 +97,32 @@ object Multimodal {
       .withColumn("frame_hash", xxhash64(col("asset_id"), col("frame_idx")))
       .orderBy(col("asset_id"), col("frame_idx"))
 
+  /**
+   * Resize planning for image assets: aspect-preserving fit into a
+   * target box (scale = min of the per-axis ratios, letterbox padding
+   * on the short side). All the geometry a real resampler needs is
+   * computed as integer-exact columns; the pixel resample itself is
+   * the stub site (`resized_checksum` stands in for the output bytes).
+   * Pure per-row projection — no shuffle, fully codegen'd, scales
+   * linearly with asset count.
+   */
+  def resizePlan(manifestDf: DataFrame, targetW: Int = 224,
+      targetH: Int = 224): DataFrame =
+    manifestDf.filter(col("media_type") === "image")
+      .withColumn("scale_num", least(lit(targetW) * col("height"), lit(targetH) * col("width")))
+      .select(col("asset_id"), col("width"), col("height"),
+        // out dims from the integer-exact min ratio: floor(dim * scale)
+        expr("(width * scale_num) div (width * height)").cast("int").as("out_w"),
+        expr("(height * scale_num) div (width * height)").cast("int").as("out_h"),
+        col("scale_num"),
+        xxhash64(col("payload"), lit(targetW), lit(targetH)).as("resized_checksum"))
+      .withColumn("pad_x", lit(targetW) - col("out_w"))
+      .withColumn("pad_y", lit(targetH) - col("out_h"))
+      .orderBy(col("asset_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> ((s, d) =>
+      resizePlan(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_frames" -> ((s, d) =>
       sampleFrames(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_manifest" -> ((s, d) =>

@@ -132,6 +132,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length == 5 && got.forall(_ == 0))
   }
 
+  test("resize plan letterboxes: one axis exact, nothing exceeds the box") {
+    val df = (1L to 200L).map(i => (i, s"payload-$i-${"x" * (i % 37).toInt}"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.resizePlan(Multimodal.manifest(df, "doc_id", "text"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w <= 224 && h <= 224 && (w == 224 || h == 224))
+      assert(r.getAs[Int]("pad_x") >= 0 && r.getAs[Int]("pad_y") >= 0)
+    }
+  }
+
   test("connected components matches union-find on random graphs") {
     val rng = new scala.util.Random(42)
     (0 until 3).foreach { _ =>
