@@ -235,6 +235,14 @@ object Dedup {
         greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // convergence = identical edge SET; (count, hash-xor) is a one-job
+    // order-independent set signature, vs two full except() shuffles.
+    // XOR, not sum: ANSI mode makes a long hash-sum overflow fatal.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var lastSig = signature(edges)
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
@@ -242,8 +250,10 @@ object Dedup {
       val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: duplicate (v,m) rows are absorbed by the
+      // small-star aggregates below — saves a shuffle per iteration
       val ls = nbrs.join(lsMin, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
       // small-star: all (smaller) neighbors + u itself link to the min
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ssRows = ls.join(ssMin, "u")
@@ -251,7 +261,9 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssRows.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      done = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      val sig = signature(ss)
+      done = sig == lastSig
+      lastSig = sig
       edges = ss
       iter += 1
     }
