@@ -31,4 +31,25 @@ object Salt {
       .agg(phase1.head, phase1.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(phase2.head, phase2.tail: _*)
+
+  /**
+   * Skew-resistant equi-join: the (big, skewed) left side takes a
+   * random salt, the right side is replicated once per salt value, and
+   * the join key becomes (key, salt) — a hot key's rows now spread
+   * over `salts` reducers instead of melting one. Exact same rows as
+   * the plain join, paid for by shuffling `salts`× the right side —
+   * worth it when the right side is far smaller than the hot key's
+   * row count but too big (or too mid-sized) to broadcast outright.
+   * AQE's skew-join split handles sort-merge cases adaptively; explicit
+   * salting is the deterministic form that also covers bucketed and
+   * pre-partitioned layouts AQE won't touch.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
 }

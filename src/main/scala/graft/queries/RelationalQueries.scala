@@ -201,7 +201,21 @@ object RelationalQueries {
         round(max(col("o_totalprice")), 4).as("best_price"))
       .orderBy(col("o_custkey"))
 
+  /** Salted lineitem⋈orders join (identical rows to the plain join —
+    * the oracle proves it), aggregated to revenue per order priority. */
+  def saltedJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ords = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.Salt.saltedJoin(li, ords, "o_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> saltedJoinRevenue _,
     "q_trailing_window" -> trailingWindow _,
     "q_percentiles" -> percentiles _,
     "q_set_ops" -> setOps _,
@@ -218,6 +232,12 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_trailing_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | round(sum(o_totalprice) OVER w, 4) AS trailing_90d,
