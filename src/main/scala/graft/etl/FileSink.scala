@@ -25,6 +25,21 @@ object FileSink {
     df.write.mode("overwrite").option("header", "true").csv(path)
 
   /**
+   * Schema'd CSV read-back — the other half of the reference's CSV
+   * mode. The explicit schema (from the writing DataFrame or a
+   * declared one) is mandatory: schema inference scans the data twice
+   * and guesses, both wrong at scale. PERMISSIVE + corrupt-record
+   * column mirrors the JSON ingest's error channel.
+   */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /**
    * All three task tables + error table under `destDir`, mirroring the
    * `{destination}_{task}` naming of the reference.
    */

@@ -167,4 +167,16 @@ class SolanaEtlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out_blocks").count() == 2)
     assert(spark.read.parquet(s"$dir/out_errors").count() == 1)
   }
+
+  test("csv mode round-trips the transfers table losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val transfers = SolanaTransforms.transfers(blocks)
+    FileSink.writeCsv(transfers, s"$dir/transfers")
+    val back = FileSink.readCsv(spark, s"$dir/transfers", transfers.schema)
+    assert(back.schema == transfers.schema)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("transaction"), r.getAs[String]("path"))
+    assert(back.collect().map(key).sorted.toSeq ==
+      transfers.collect().map(key).sorted.toSeq)
+  }
 }
