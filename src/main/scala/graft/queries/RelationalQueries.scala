@@ -153,6 +153,25 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) next to exact —
+    * the mergeable scale path for quantiles, with its error visible
+    * against the exact answer. Sketch internals are engine-specific →
+    * rows-only check, like q_approx_distinct. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("exact"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("approx"), 1), 4).as("approx_p50"),
+        round(element_at(col("approx"), 2), 4).as("approx_p99"),
+        round(element_at(col("exact"), 1), 4).as("exact_p50"),
+        round(element_at(col("exact"), 2), 4).as("exact_p99"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Trailing 90-day revenue per customer: RANGE interval frame. */
   def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
     val us = unix_micros(col("o_orderdate").cast("timestamp"))
@@ -215,6 +234,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_percentile" -> approxPercentile _,
     "q_salted_join" -> saltedJoinRevenue _,
     "q_trailing_window" -> trailingWindow _,
     "q_percentiles" -> percentiles _,
