@@ -257,10 +257,12 @@ object Dedup {
       // small-star: all (smaller) neighbors + u itself link to the min
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ssRows = ls.join(ssMin, "u")
+      // lazy checkpoint: the signature job below both computes the
+      // iteration AND persists it — one job per round, not two
       val ss = ssRows.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssRows.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager = false)
       val sig = signature(ss)
       done = sig == lastSig
       lastSig = sig
