@@ -172,6 +172,24 @@ object RelationalQueries {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Decile bucketing via ntile with an exact-column tie-break, then
+    * per-decile stats — the distribution-profiling shape. A global
+    * ntile is inherently a total order (Spark runs it one-partition);
+    * exact deciles at 100 TB instead come from repartitionByRange +
+    * per-partition offsets, or approximately from the GK sketch
+    * (q_approx_percentile) — this is the exact small-dim form. */
+  def ntileSpread(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 4).as("lo"),
+        round(max(col("c_acctbal")), 4).as("hi"),
+        round(avg(col("c_acctbal")), 4).as("mean"))
+      .orderBy(col("decile"))
+  }
+
   /** Trailing 90-day revenue per customer: RANGE interval frame. */
   def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
     val us = unix_micros(col("o_orderdate").cast("timestamp"))
@@ -235,6 +253,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_percentile" -> approxPercentile _,
+    "q_ntile_spread" -> ntileSpread _,
     "q_salted_join" -> saltedJoinRevenue _,
     "q_trailing_window" -> trailingWindow _,
     "q_percentiles" -> percentiles _,
@@ -252,6 +271,14 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ntile_spread" ->
+      """WITH d AS (SELECT c_acctbal,
+        |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        | FROM customer)
+        |SELECT decile, count(*) AS n,
+        | round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi,
+        | round(avg(c_acctbal), 4) AS mean
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

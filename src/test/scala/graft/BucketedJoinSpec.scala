@@ -45,4 +45,24 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(shufflesInJoin == 0, s"expected no join-key shuffle, plan:\n$plan")
     assert(joined.count() == 3)
   }
+
+  test("date-partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+    events.write.mode("overwrite").partitionBy("day").parquet(s"$dir/events")
+
+    val days = events.select(col("day")).distinct().collect()
+      .map(_.getAs[java.sql.Date](0).toString).sorted
+    assert(days.length > 1, "fixture needs multiple days to prove pruning")
+    val oneDay = spark.read.parquet(s"$dir/events")
+      .filter(col("day") === lit(days.head))
+
+    // partition filter must reach the file listing, not a post-scan Filter
+    val scan = oneDay.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"partition filter not pushed, plan:\n$scan")
+    assert(oneDay.count() ==
+      events.filter(col("day") === lit(days.head)).count())
+  }
 }
