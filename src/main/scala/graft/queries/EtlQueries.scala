@@ -217,6 +217,39 @@ object EtlQueries {
    * (`Block.py`, `Instruction.py:150-210`): pull typed fields out of a
    * JSON string column. Codegen'd path expression, no UDF.
    */
+  /**
+   * PageRank (damping 0.85, 5 fixed iterations) over the interaction
+   * graph — the analytics step past `GraphBuilder`'s edge loading:
+   * rank the graph instead of shipping it to neo4j. Iterative
+   * DataFrame form: edges/out-degrees materialize once
+   * (localCheckpoint), each round is one keyed join + aggregation +
+   * left join back to the node set — all shuffles on node keys, no
+   * driver-side graph. Fixed iteration count keeps the plan finite
+   * and the oracle expressible (unrolled CTEs).
+   */
+  def graphPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to 5) {
+      val contrib = ranks.withColumnRenamed("node", "src")
+        .join(outdeg, "src").join(edges, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("odeg")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
@@ -276,6 +309,7 @@ object EtlQueries {
     "entity_classify" -> entityClassify _,
     "graph_edges" -> graphEdges _,
     "graph_degrees" -> graphDegrees _,
+    "graph_pagerank" -> graphPageRank _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
     "error_split" -> errorSplit _)
@@ -364,6 +398,33 @@ object EtlQueries {
         | round(sum(c_acctbal), 4) AS total_balance
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_pagerank" ->
+      """WITH edges AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+        |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+        |                  FROM r0 r JOIN edges e ON e.src = r.node
+        |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node)),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+        |                  FROM r1 r JOIN edges e ON e.src = r.node
+        |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node)),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+        |                  FROM r2 r JOIN edges e ON e.src = r.node
+        |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node)),
+        |r4 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+        |                  FROM r3 r JOIN edges e ON e.src = r.node
+        |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node)),
+        |r5 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM nodes n
+        |       LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+        |                  FROM r4 r JOIN edges e ON e.src = r.node
+        |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node))
+        |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin,
     "graph_edges" ->
       """SELECT o_custkey AS src, l_suppkey AS dst,
         | count(*) AS n_interactions,
