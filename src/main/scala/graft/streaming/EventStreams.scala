@@ -123,13 +123,58 @@ object EventStreams {
       .orderBy(col("event_type"))
   }
 
+  /**
+   * Stream-stream interval join: views joined to same-user purchases
+   * within the following hour — the attribution shape. Both sides are
+   * real streams; the time-range predicate plus watermarks is what
+   * lets the engine BOUND the join state (each side buffers only one
+   * watermark-horizon of rows; an unconstrained stream-stream join
+   * would buffer forever). Join output is arrival-order independent,
+   * so the batch oracle checks it exactly.
+   */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    val name = s"graft_stream_join_${counter.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
