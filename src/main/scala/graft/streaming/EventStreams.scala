@@ -24,6 +24,23 @@ import graft.Tables
 object EventStreams {
   private val counter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /**
+   * Stateful streaming queries materialize one state-store instance
+   * per shuffle partition per stateful operator (a stream-stream join
+   * holds FOUR per partition) — each a checkpointed directory with
+   * per-microbatch file I/O. Size the partition count to the key
+   * cardinality of the stream, not the batch default: these event
+   * streams key on ~10³ users, where 8 partitions bound the store
+   * overhead; a 100 TB deploy sizes this to executor count instead.
+   * Scoped set/restore — planning happens at start(), so only the
+   * streaming query sees the override.
+   */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The windowed aggregation, declared once over any events relation. */
   def windowAggPlan(events: DataFrame): DataFrame =
     events
@@ -47,8 +64,10 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
     val name = s"graft_stream_window_${counter.incrementAndGet()}"
-    val q = windowAggPlan(stream)
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    val q = withStatePartitions(spark, 8) {
+      windowAggPlan(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name).orderBy(col("window_start"), col("event_type"))
   }
@@ -114,8 +133,10 @@ object EventStreams {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = stream.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    val q = withStatePartitions(spark, 8) {
+      stream.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
       .groupBy(col("event_type"))
@@ -151,8 +172,10 @@ object EventStreams {
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
     val name = s"graft_stream_join_${counter.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
