@@ -53,13 +53,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Shingle table with stop-shingle (document-frequency) capping. */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxShingleFreq: Int): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, n)
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
+  /**
+   * Shingle table annotated with everything the jaccard join needs —
+   * document frequency (stop-shingle filter + rarity order), per-doc
+   * set size, and rarest-first rank — computed as two chained window
+   * passes (shuffle by shingle, then by doc; size and rank share the
+   * doc shuffle) instead of three groupBy+join-back pairs, then
+   * materialized ONCE: the prefix index and both sides of the
+   * intersection join all read the same checkpointed rows rather than
+   * re-deriving the shingle pipeline per consumer.
+   */
+  private def annotatedShingleTable(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleFreq: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("s"))
+    val wDoc = Window.partitionBy(col("doc"))
+    val wRank = Window.partitionBy(col("doc")).orderBy(col("df_count"), col("s"))
+    shingleHashes(df, idCol, textCol, n)
+      .withColumn("df_count", count(lit(1)).over(wS))
       .filter(col("df_count") <= maxShingleFreq)
-    sh.join(rare, "s").select(col("doc"), col("s"))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rank", row_number().over(wRank))
+      .localCheckpoint()
   }
 
   /**
@@ -83,14 +98,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 100): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n, maxShingleFreq)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    // rarest-first total order → smallest possible candidate blocks
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("df_count"), col("s"))
-    val dfCounts = sh.groupBy(col("s")).agg(count(lit(1)).as("df_count"))
-    val prefix = sh.join(dfCounts, "s").join(sizes, "doc")
-      .withColumn("rank", row_number().over(byRarity))
+    val sh = annotatedShingleTable(df, idCol, textCol, n, maxShingleFreq)
+    // rarest-first prefix: only the first sz − ⌈τ·sz⌉ + 1 shingles
+    // of a doc can open a candidate pair
+    val prefix = sh
       .filter(col("rank") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc"), col("s"), col("sz"))
     val candidates = prefix.as("a").join(prefix.as("b"),
