@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout operators: how rows are ORDERED inside files decides
+ * how much a 100 TB scan can skip. Parquet keeps per-row-group
+ * min/max stats; a single-column sort clusters one predicate
+ * dimension, a Z-order (Morton) sort interleaves the bits of several
+ * dimensions so rows close in ANY of them land close in the file —
+ * multi-dimensional range filters then prune most row groups.
+ */
+object Layout {
+
+  /**
+   * Morton key: interleave the low `bits` bits of two non-negative
+   * integer columns (x in even positions, y in odd). Pure bit
+   * arithmetic — codegen'd, no UDF, exact in any engine.
+   */
+  def zOrder2(x: Column, y: Column, bits: Int = 21): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** DuckDB-side rendering of the same key, for oracle parity. */
+  def zOrder2Sql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /**
+   * Write `df` parquet with rows Z-ordered on (x, y) — sorted within
+   * partitions only: the global shuffle is the caller's partitioning
+   * choice, the z-sort is per-file clustering on top of it.
+   */
+  def zOrderWrite(df: DataFrame, path: String, xCol: String, yCol: String): Unit =
+    df.withColumn("_z", zOrder2(col(xCol), col(yCol)))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+}

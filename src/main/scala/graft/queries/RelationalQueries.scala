@@ -251,7 +251,17 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Morton (Z-order) key per customer over (custkey, nationkey) —
+    * the layout key `Layout.zOrderWrite` clusters files by. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        graft.operators.Layout.zOrder2(col("c_custkey"), col("c_nationkey"))
+          .as("zkey"))
+      .orderBy(col("zkey"), col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> zorderKey _,
     "q_approx_percentile" -> approxPercentile _,
     "q_ntile_spread" -> ntileSpread _,
     "q_salted_join" -> saltedJoinRevenue _,
@@ -271,6 +281,10 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "zorder_key" ->
+      s"""SELECT c_custkey, c_nationkey,
+         | ${graft.operators.Layout.zOrder2Sql("c_custkey", "c_nationkey")} AS zkey
+         |FROM customer ORDER BY zkey, c_custkey""".stripMargin,
     "q_ntile_spread" ->
       """WITH d AS (SELECT c_acctbal,
         |  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile

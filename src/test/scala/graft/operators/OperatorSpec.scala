@@ -145,6 +145,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order key interleaves bits (known values) and round-trips a write") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zOrder2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (3,5): x bits → 0,2; y bits → 1,5  ⇒  1+4+2+32 = 39
+    assert(got == Seq(0L, 1L, 2L, 3L, 39L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Layout.zOrderWrite(df, s"$dir/z", "x", "y")
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == 5 && back.columns.toSet == Set("x", "y"))
+  }
+
   test("connected components matches union-find on random graphs") {
     val rng = new scala.util.Random(42)
     (0 until 3).foreach { _ =>
