@@ -251,6 +251,37 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Latest record per key (compaction / upsert-resolution shape):
+    * one keyed aggregation, deterministic (ts, id) tie-break. */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.us").as("last_ts_us"))
+      .orderBy(col("user_id"))
+
+  /** Ordered-stage funnel: users with a view, then a purchase at or
+    * after their first view. Two keyed aggs + one left join. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view_users"), count(col("p_ts")).as("n_converted"))
+  }
+
+  /** Fixed-width histogram of order values. */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("bucket"))
+
   /** Morton (Z-order) key per customer over (custkey, nationkey) —
     * the layout key `Layout.zOrderWrite` clusters files by. */
   def zorderKey(spark: SparkSession, dir: String): DataFrame =
@@ -261,6 +292,9 @@ object RelationalQueries {
       .orderBy(col("zkey"), col("c_custkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "latest_by_key" -> latestByKey _,
+    "q_funnel" -> funnel _,
+    "q_histogram" -> histogram _,
     "zorder_key" -> zorderKey _,
     "q_approx_percentile" -> approxPercentile _,
     "q_ntile_spread" -> ntileSpread _,
@@ -281,6 +315,23 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "latest_by_key" ->
+      """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts GROUP BY 1)
+        |SELECT count(*) AS n_view_users, count(p.p_ts) AS n_converted
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_key" ->
       s"""SELECT c_custkey, c_nationkey,
          | ${graft.operators.Layout.zOrder2Sql("c_custkey", "c_nationkey")} AS zkey
