@@ -103,11 +103,20 @@ object SolanaTransforms {
    * inner list. Returns per-transaction match counts.
    */
   def filterInstructionTree(blocks: DataFrame, programName: String,
-      instructionType: String): DataFrame = {
-    def matches(v: String) =
+      instructionType: String): DataFrame =
+    filterTree(blocks, v =>
       s"""coalesce($v.program = '$programName' AND
          |  from_json($v.parsed, '${BlockSchema.parsedDdl}').type = '$instructionType',
-         |  false)""".stripMargin
+         |  false)""".stripMargin)
+
+  /** Program-only tree filter ≈ `ProgramInstruction.SYSTEM` (any
+    * instruction type of the program). `Instruction.py:240-288` */
+  def filterInstructionTreeByProgram(blocks: DataFrame,
+      programName: String): DataFrame =
+    filterTree(blocks, v => s"coalesce($v.program = '$programName', false)")
+
+  private def filterTree(blocks: DataFrame,
+      matches: String => String): DataFrame = {
     txLevel(blocks)
       .withColumn("kept", expr(
         s"""filter(transform(tx.transaction.message.instructions, (ins, i) ->

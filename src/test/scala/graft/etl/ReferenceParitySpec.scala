@@ -112,6 +112,34 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(tt.getAs[scala.collection.Seq[String]]("COIN").size == 15)
   }
 
+  test("instruction tree and transfer extraction match test_Instruction/test_Interactions") {
+    assume(new java.io.File(fixture).exists(), "reference fixture not present")
+    val blocks = BlockIngest.read(spark, fixture)
+    val sig =
+      "2XMqtpXpp83pupsM5iiie2s69iRTHrV6oA6zxDTY9hRC4M2Rr9Yh5knSkBZbk22Wt7Qv88akacJifnaX6oL5ncqS"
+
+    // 21 = outer + inner flattened (test_Instruction.test_properties)
+    val n = SolanaTransforms.transactions(blocks)
+      .filter(col("signature") === sig)
+      .head().getAs[Int]("numInstructions")
+    assert(n == 21)
+
+    // SYSTEM filter keeps outers {0,2,4} and 10 matching inners
+    val sys = SolanaTransforms.filterInstructionTreeByProgram(blocks, "system")
+      .filter(col("signature") === sig).head()
+    assert((sys.getAs[Int]("n_outer_kept"), sys.getAs[Int]("n_inner_kept")) == (3, 10))
+
+    // SYSTEM_TRANSFER keeps outers {2,4} and inners {2.0,4.0,4.2,4.6}
+    val syt = SolanaTransforms.filterInstructionTree(blocks, "system", "transfer")
+      .filter(col("signature") === sig).head()
+    assert((syt.getAs[Int]("n_outer_kept"), syt.getAs[Int]("n_inner_kept")) == (2, 4))
+
+    // Interactions census: 321 coin + 73 token transfers (test_Interactions)
+    val transfers = SolanaTransforms.transfers(blocks)
+    assert(transfers.filter(col("mint") === "sol").count() == 321)
+    assert(transfers.filter(col("mint") =!= "sol").count() == 73)
+  }
+
   test("real mainnet block reproduces the accounts_by_type census") {
     assume(new java.io.File(fixture).exists(), "reference fixture not present")
     val blocks = BlockIngest.read(spark, fixture)
