@@ -140,6 +140,33 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(transfers.filter(col("mint") =!= "sol").count() == 73)
   }
 
+  test("task-table shapes match test_FileOutput.py on both fixture blocks") {
+    val blocksGlob = "/root/reference/test/resources/blocks/*/*.json.gz"
+    assume(new java.io.File(fixture).exists(), "reference fixture not present")
+    val blocks = BlockIngest.read(spark, blocksGlob)
+    assert(BlockIngest.errors(blocks).count() == 0)
+
+    val txs = SolanaTransforms.transactions(blocks)
+    val transfers = SolanaTransforms.transfers(blocks)
+    val info = SolanaTransforms.blockInfo(blocks)
+    assert(txs.columns.length == 16)
+    assert(transfers.columns.length == 9)
+    assert(info.columns.length == 22)
+
+    def countsBySource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(col("path")).count().collect()
+        .map(r => r.getAs[String]("path") -> r.getAs[Long]("count")).toMap
+    // test_FileOutput.py: [110130000: 394 transfers / 3439 txs / 1 block],
+    //                     [110360000: 194 / 4435 / 1]
+    val txCounts = countsBySource(txs)
+    val trCounts = countsBySource(transfers)
+    assert(txCounts.view.mapValues(identity).toMap.values.toSeq.sorted == Seq(3439L, 4435L))
+    assert(txCounts.find(_._2 == 3439L).get._1.contains("110130000"))
+    assert(trCounts.values.toSeq.sorted == Seq(194L, 394L))
+    assert(trCounts.find(_._2 == 394L).get._1.contains("110130000"))
+    assert(info.count() == 2)
+  }
+
   test("real mainnet block reproduces the accounts_by_type census") {
     assume(new java.io.File(fixture).exists(), "reference fixture not present")
     val blocks = BlockIngest.read(spark, fixture)
