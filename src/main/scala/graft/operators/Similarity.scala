@@ -45,6 +45,29 @@ object Similarity {
   }
 
   /**
+   * Exact k-NN JOIN: every item gets its top-k cosine neighbors. The
+   * symmetric pair matrix is computed as half-pairs (id1 < id2, n²/2
+   * codegen'd dot products) then mirrored — cosine is symmetric, so
+   * the expensive math runs once per unordered pair. This is the
+   * correctness baseline the blocked variants (`annLsh`, hyperplane
+   * bands) approximate; at corpus scale candidates come from those
+   * buckets and only the within-bucket pairs take this path.
+   */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val d = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+    val half = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("src_id"), col("b.id").as("nbr_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val sym = half.union(half.select(col("nbr_id"), col("src_id"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("src_id"), col("rk"))
+  }
+
+  /**
    * 16-bit random-hyperplane code: bit p = sign(v · plane_p).
    * Planes are pseudo-random but deterministic (seeded), generated
    * driver-side as literals — they are model parameters, not data.

@@ -251,6 +251,30 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** CUBE over (status, year): all four grouping-set combinations in
+    * one pass — partial-agg friendly, one shuffle. */
+  def cubeStatusYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("status"), asc_nulls_first("yr"))
+
+  /** One-pass table profile: row count, per-column distincts and
+    * ranges — the data-quality survey every pipeline runs first. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        countDistinct(col("o_orderpriority")).as("ndv_priority"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priorities"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+
   /** Latest record per key (compaction / upsert-resolution shape):
     * one keyed aggregation, deterministic (ts, id) tie-break. */
   def latestByKey(spark: SparkSession, dir: String): DataFrame =
@@ -293,6 +317,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "latest_by_key" -> latestByKey _,
+    "q_cube" -> cubeStatusYear _,
+    "profile_table" -> profileTable _,
     "q_funnel" -> funnel _,
     "q_histogram" -> histogram _,
     "zorder_key" -> zorderKey _,
@@ -315,6 +341,21 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (status, yr)
+        |ORDER BY status NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "profile_table" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT o_custkey) AS ndv_custkey,
+        | count(DISTINCT o_orderstatus) AS ndv_status,
+        | count(DISTINCT o_orderpriority) AS ndv_priority,
+        | coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS null_priorities,
+        | round(min(o_totalprice), 4) AS min_price,
+        | round(max(o_totalprice), 4) AS max_price,
+        | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+        |FROM orders""".stripMargin,
     "latest_by_key" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

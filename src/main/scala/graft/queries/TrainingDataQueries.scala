@@ -84,6 +84,8 @@ object TrainingDataQueries {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
+    "knn_join" -> ((s, d) =>
+      Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)),
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 25, extraCols = Seq("label"))),
@@ -189,6 +191,15 @@ object TrainingDataQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    "knn_join" ->
+      """WITH pairs AS (
+        | SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+        |   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |        ORDER BY cos DESC, nbr_id) AS rk FROM pairs)
+        |SELECT src_id, nbr_id, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY src_id, rk""".stripMargin,
     "knn_brute" ->
       """SELECT e.vec_id, e.label,
         | round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
