@@ -42,13 +42,22 @@ object FileSink {
   /**
    * All three task tables + error table under `destDir`, mirroring the
    * `{destination}_{task}` naming of the reference.
+   *
+   * The parsed blocks persist (spilling to disk) for the fan-out:
+   * four outputs over one parse. Re-parsing per output would read and
+   * parse every block file four times — and large real blocks (a
+   * mainnet block is a single ~40 MB JSON line) make the repeated
+   * parse both the dominant cost and a transient-memory hazard.
    */
   def writeAll(blocks: DataFrame, destDir: String, asCsv: Boolean = false): Unit = {
     val out: (DataFrame, String) => Unit =
       if (asCsv) (df, p) => writeCsv(df, p) else (df, p) => writeParquet(df, p)
-    out(SolanaTransforms.transactions(blocks), s"${destDir}_transactions")
-    out(SolanaTransforms.transfers(blocks), s"${destDir}_transfers")
-    out(SolanaTransforms.blockInfo(blocks), s"${destDir}_blocks")
-    out(BlockIngest.errors(blocks), s"${destDir}_errors")
+    val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try SolanaTransforms.withBlockEtlPlanning(blocks.sparkSession) {
+      out(SolanaTransforms.transactions(cached), s"${destDir}_transactions")
+      out(SolanaTransforms.transfers(cached), s"${destDir}_transfers")
+      out(SolanaTransforms.blockInfo(cached), s"${destDir}_blocks")
+      out(BlockIngest.errors(cached), s"${destDir}_errors")
+    } finally cached.unpersist()
   }
 }

@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
 object SolanaTransforms {
 
   /** Shared per-transaction intermediate: one row per transaction. */
+  /**
+   * Plan block-ETL actions with whole-stage codegen OFF (scoped —
+   * planning happens inside `f`, the conf is restored after).
+   *
+   * The block transforms are dominated by higher-order functions and
+   * from_json — all CodegenFallback, so whole-stage fusion buys them
+   * nothing — and on real mainnet blocks the fused mega-stage triggers
+   * a memory pathology: heap dumps show gigabytes of duplicated jar
+   * central-directory buffers accumulating during execution of the
+   * giant generated stage (Spark 4.1, local mode) until the executor
+   * OOMs. Expression-level codegen stays ON; only stage fusion is
+   * disabled. Verified: identical results, ~6s for a 6.5 MB mainnet
+   * block at 1 core where the fused plan OOMs an 8 GB heap.
+   */
+  def withBlockEtlPlanning[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def txLevel(blocks: DataFrame): DataFrame =
     BlockIngest.valid(blocks)
       .select(
@@ -36,24 +61,33 @@ object SolanaTransforms {
       // (matched by outer index), like Instructions.flatten + the
       // innerInstructions stitching in Transaction.instructions
       // (Transaction.py:66-81)
+      // two NESTED transforms so from_json runs once per instruction
+      // (the optimizer has no rule fusing transform-over-transform):
+      // a single-level transform would inline the parse into every
+      // field that needs it, tripling an already-huge expression —
+      // tree size here directly bounds codegen size, see transfers()
       .withColumn("flat_instr", expr(
         s"""transform(
-          |  flatten(transform(tx.transaction.message.instructions, (ins, i) ->
-          |    CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
-          |         THEN array(ins)
-          |         ELSE concat(array(ins),
-          |           get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions)
-          |    END)),
-          |  ins -> named_struct(
-          |    'programId', ins.programId,
-          |    'program', ins.program,
-          |    'parsed', from_json(ins.parsed, '${BlockSchema.parsedDdl}'),
-          |    'memo', CASE WHEN ins.parsed IS NOT NULL
-          |        AND from_json(ins.parsed, '${BlockSchema.parsedDdl}').type IS NULL
-          |        AND from_json(ins.parsed, '${BlockSchema.parsedDdl}').info IS NULL
-          |      THEN ins.parsed END,
-          |    'accounts', ins.accounts,
-          |    'data', ins.data))""".stripMargin))
+          |  transform(
+          |    flatten(transform(tx.transaction.message.instructions, (ins, i) ->
+          |      CASE WHEN get(filter(tx.meta.innerInstructions, x -> x.index = i), 0) IS NULL
+          |           THEN array(ins)
+          |           ELSE concat(array(ins),
+          |             get(filter(tx.meta.innerInstructions, x -> x.index = i), 0).instructions)
+          |      END)),
+          |    ins -> named_struct(
+          |      'programId', ins.programId, 'program', ins.program,
+          |      'raw', ins.parsed,
+          |      'p', from_json(ins.parsed, '${BlockSchema.parsedDdl}'),
+          |      'accounts', ins.accounts, 'data', ins.data)),
+          |  x -> named_struct(
+          |    'programId', x.programId,
+          |    'program', x.program,
+          |    'parsed', x.p,
+          |    'memo', CASE WHEN x.raw IS NOT NULL
+          |        AND x.p.type IS NULL AND x.p.info IS NULL THEN x.raw END,
+          |    'accounts', x.accounts,
+          |    'data', x.data))""".stripMargin))
       .withColumn("programs",
         expr("array_sort(array_distinct(transform(flat_instr, x -> x.programId)))"))
       .withColumn("lamports_out", expr(
@@ -69,22 +103,29 @@ object SolanaTransforms {
       // Transaction.py:104-141): pre/post merged by accountIndex,
       // missing side = 0; mint/decimals prefer post (the reference's
       // `balance` variable is the last one seen)
+      // nested transforms again: the inner pass resolves each index's
+      // pre/post balance with ONE filter scan per side; the outer pass
+      // derives all five fields from the resolved structs. The flat
+      // form repeated the filter scan for every field — 9 scans per
+      // element at runtime and a 9×-inlined expression tree (same
+      // codegen-size concern as flat_instr above)
       .withColumn("token_changes", expr(
         """transform(
-          |  array_union(transform(tx.meta.preTokenBalances, b -> b.accountIndex),
-          |              transform(tx.meta.postTokenBalances, b -> b.accountIndex)),
-          |  i -> named_struct(
-          |    'idx', i,
-          |    'key', get(keys, i),
-          |    'mint', coalesce(
-          |       get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).mint,
-          |       get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).mint),
+          |  transform(
+          |    array_union(transform(tx.meta.preTokenBalances, b -> b.accountIndex),
+          |                transform(tx.meta.postTokenBalances, b -> b.accountIndex)),
+          |    i -> struct(i AS idx,
+          |      get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0) AS post,
+          |      get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0) AS pre)),
+          |  x -> named_struct(
+          |    'idx', x.idx,
+          |    'key', get(keys, x.idx),
+          |    'mint', coalesce(x.post.mint, x.pre.mint),
           |    'change',
-          |       coalesce(try_cast(get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.amount AS LONG), 0L)
-          |     - coalesce(try_cast(get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.amount AS LONG), 0L),
-          |    'decimals', coalesce(
-          |       get(filter(tx.meta.postTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.decimals,
-          |       get(filter(tx.meta.preTokenBalances, b -> b.accountIndex = i), 0).uiTokenAmount.decimals)))""".stripMargin))
+          |       coalesce(try_cast(x.post.uiTokenAmount.amount AS LONG), 0L)
+          |     - coalesce(try_cast(x.pre.uiTokenAmount.amount AS LONG), 0L),
+          |    'decimals', coalesce(x.post.uiTokenAmount.decimals,
+          |                         x.pre.uiTokenAmount.decimals)))""".stripMargin))
       .withColumn("token_keys",
         expr("array_sort(filter(array_distinct(transform(token_changes, c -> c.key)), k -> k IS NOT NULL))"))
       .withColumn("mints",
@@ -192,38 +233,39 @@ object SolanaTransforms {
    * dropped (the reference raises → error channel).
    */
   def transfers(blocks: DataFrame): DataFrame = {
+    // ONE pass, not a coin ∪ token union of two branches. Two separate
+    // consumers of the instruction table would each re-inline (via
+    // CollapseProject, and filter pushdown past any barrier) the
+    // entire flat_instr/token_changes construction — the generated
+    // code for those monster expressions then exists twice per plan,
+    // and on real mainnet blocks the duplicated codegen volume (plus
+    // the per-compile classloader overhead it drags in) OOMs the
+    // executor. The CASE-fused single branch compiles and evaluates
+    // the expensive expressions exactly once, scans the instruction
+    // table once, and needs no union.
     val instr = txLevel(blocks)
       .filter(col("is_successful"))
       .select(col("time"), col("blockhash"), col("path"), col("signature"),
         col("token_changes"), explode(col("flat_instr")).as("ins"))
-    val coin = instr
-      .filter(expr("ins.program = 'system' AND ins.parsed.type = 'transfer'"))
-      .select(
-        col("time"),
-        expr("try_element_at(ins.parsed.info, 'source')").as("source"),
-        expr("try_element_at(ins.parsed.info, 'destination')").as("destination"),
-        lit("sol").as("mint"),
-        expr("try_cast(try_element_at(ins.parsed.info, 'lamports') AS LONG)").as("value"),
-        lit(9).as("scale"),
-        col("signature").as("transaction"),
-        col("blockhash"), col("path"))
-    val token = instr
-      .filter(expr("ins.program = 'spl-token' AND ins.parsed.type = 'transfer'"))
+    instr
+      .filter(expr(
+        "ins.parsed.type = 'transfer' AND ins.program IN ('system', 'spl-token')"))
       .withColumn("matched", expr(
-        """coalesce(
+        """CASE WHEN ins.program = 'spl-token' THEN coalesce(
           |  get(filter(token_changes, c -> c.key = try_element_at(ins.parsed.info, 'source')), 0),
-          |  get(filter(token_changes, c -> c.key = try_element_at(ins.parsed.info, 'destination')), 0))""".stripMargin))
-      .filter(col("matched").isNotNull)
+          |  get(filter(token_changes, c -> c.key = try_element_at(ins.parsed.info, 'destination')), 0))
+          |END""".stripMargin))
+      .filter(expr("ins.program = 'system' OR matched IS NOT NULL"))
       .select(
         col("time"),
         expr("try_element_at(ins.parsed.info, 'source')").as("source"),
         expr("try_element_at(ins.parsed.info, 'destination')").as("destination"),
-        col("matched.mint").as("mint"),
-        expr("try_cast(try_element_at(ins.parsed.info, 'amount') AS LONG)").as("value"),
-        col("matched.decimals").as("scale"),
+        expr("CASE WHEN ins.program = 'system' THEN 'sol' ELSE matched.mint END").as("mint"),
+        expr("""try_cast(try_element_at(ins.parsed.info,
+          | CASE WHEN ins.program = 'system' THEN 'lamports' ELSE 'amount' END) AS LONG)""".stripMargin).as("value"),
+        expr("CASE WHEN ins.program = 'system' THEN 9 ELSE matched.decimals END").as("scale"),
         col("signature").as("transaction"),
         col("blockhash"), col("path"))
-    coin.unionByName(token)
   }
 
   /** BLOCKS table (TransformTask.py:153-178): per-block metrics split successful × errored. */

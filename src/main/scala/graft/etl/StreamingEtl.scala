@@ -44,10 +44,12 @@ object StreamingEtl {
    */
   def start(spark: SparkSession, blocksDir: String, destDir: String): Seq[StreamingQuery] = {
     val blocks = readBlockStream(spark, blocksDir)
-    Seq(
-      startTask(SolanaTransforms.transactions(blocks),
-        s"${destDir}_transactions", s"$destDir/.ckpt_transactions"),
-      startTask(SolanaTransforms.transfers(blocks),
-        s"${destDir}_transfers", s"$destDir/.ckpt_transfers"))
+    SolanaTransforms.withBlockEtlPlanning(spark) {
+      Seq(
+        startTask(SolanaTransforms.transactions(blocks),
+          s"${destDir}_transactions", s"$destDir/.ckpt_transactions"),
+        startTask(SolanaTransforms.transfers(blocks),
+          s"${destDir}_transfers", s"$destDir/.ckpt_transfers"))
+    }
   }
 }
