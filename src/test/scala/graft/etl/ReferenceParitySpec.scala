@@ -167,6 +167,17 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(info.count() == 2)
   }
 
+  test("streaming ETL processes the real blocks to the same transfer census") {
+    assume(new java.io.File(fixture).exists(), "reference fixture not present")
+    val dest = java.nio.file.Files.createTempDirectory("graft_stream_parity").toString
+    // stream over the two real blocks (each file = one micro-batch input)
+    val queries = StreamingEtl.start(spark,
+      "/root/reference/test/resources/blocks/*/*.json.gz", s"$dest/out")
+    try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+    assert(spark.read.parquet(s"$dest/out_transactions").count() == 3439 + 4435)
+    assert(spark.read.parquet(s"$dest/out_transfers").count() == 394 + 194)
+  }
+
   test("real mainnet block reproduces the accounts_by_type census") {
     assume(new java.io.File(fixture).exists(), "reference fixture not present")
     val blocks = BlockIngest.read(spark, fixture)
