@@ -68,6 +68,22 @@ object Similarity {
   }
 
   /**
+   * Per-label centroid vectors as (label, dim, mean) rows: posexplode
+   * to dimension granularity, one keyed aggregation. The row form IS
+   * the scalable layout — a group-avg of array columns would need the
+   * whole group's vectors co-resident; this shape is partial-agg
+   * friendly and shuffles (label, dim)-keyed scalars.
+   */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
+  /**
    * 16-bit random-hyperplane code: bit p = sign(v · plane_p).
    * Planes are pseudo-random but deterministic (seeded), generated
    * driver-side as literals — they are model parameters, not data.

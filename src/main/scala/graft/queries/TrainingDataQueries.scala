@@ -84,6 +84,8 @@ object TrainingDataQueries {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
+    "embedding_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
     "knn_join" -> ((s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)),
     "knn_brute" -> ((s, d) =>
@@ -191,6 +193,11 @@ object TrainingDataQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, i AS dim,
+        | round(avg(embedding[i + 1]::DOUBLE), 6) AS mean, count(*) AS n_vectors
+        |FROM embeddings, unnest(range(len(embedding))) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "knn_join" ->
       """WITH pairs AS (
         | SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
