@@ -56,15 +56,30 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
         else:
-            # value compare, tolerant hash analog
+            # The driver hashes pandas VALUES, so a dtype drift (e.g.
+            # DuckDB sum(BIGINT) -> HUGEINT -> float64 vs Spark int64)
+            # flips the hash even when every cell compares equal —
+            # exactly what sank 4 queries in round 1. Flag it.
+            dt = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns if got[c].dtype != want[c].dtype]
+            if dt:
+                print(f"FAIL {name}: dtype drift {dt}")
+                n_fail += 1
+                continue
+            # value compare: exact, like the driver's hash
             try:
-                pd.testing.assert_frame_equal(
-                    got, want, check_dtype=False, check_exact=False,
-                    rtol=0, atol=1e-9)
+                pd.testing.assert_frame_equal(got, want, check_exact=True)
                 print(f"PASS {name} ({len(got)} rows)")
                 n_pass += 1
             except AssertionError as e:
-                print(f"FAIL {name}: values differ: {str(e).splitlines()[-1]}")
+                msg = str(e).splitlines()[-1]
+                # distinguish last-ulp drift from real mismatches
+                try:
+                    pd.testing.assert_frame_equal(
+                        got, want, check_exact=False, rtol=0, atol=1e-9)
+                    print(f"FAIL {name}: inexact (ulp-level) drift: {msg}")
+                except AssertionError:
+                    print(f"FAIL {name}: values differ: {msg}")
                 n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

@@ -32,9 +32,13 @@ object EtlQueries {
   def txEnrich(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val li  = Tables.lineitem(spark, dir)
+    // money carried as DECIMAL(12,2): the signed IN/OUT sums are exact
+    // integer math at any partitioning (no summation-order drift vs the
+    // oracle), floated only at the output edge
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val dzero = lit(0).cast("decimal(12,2)")
     val signed = li.withColumn("signed_value",
-      when(col("l_returnflag") === "R", -col("l_extendedprice"))
-        .otherwise(col("l_extendedprice")))
+      when(col("l_returnflag") === "R", -price).otherwise(price))
     ord.join(signed, col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       .agg(
@@ -43,8 +47,8 @@ object EtlQueries {
         countDistinct(col("l_suppkey")).as("num_suppliers"),
         array_join(transform(sort_array(collect_set(col("l_suppkey"))),
           _.cast("string")), ",").as("suppliers"),
-        coalesce(round(sum(when(col("signed_value") > 0, col("signed_value")).otherwise(0.0)), 4), lit(0.0)).as("value_in"),
-        coalesce(round(sum(when(col("signed_value") < 0, col("signed_value")).otherwise(0.0)), 4), lit(0.0)).as("value_out"))
+        coalesce(round(sum(when(col("signed_value") > 0, col("signed_value")).otherwise(dzero)).cast("double"), 4), lit(0.0)).as("value_in"),
+        coalesce(round(sum(when(col("signed_value") < 0, col("signed_value")).otherwise(dzero)).cast("double"), 4), lit(0.0)).as("value_out"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -146,8 +150,11 @@ object EtlQueries {
    * output edge.
    */
   def scaledDecimal(spark: SparkSession, dir: String): DataFrame = {
+    // decimal-cast, not round(double*100): the double→decimal cast is the
+    // single rounding step, then ×100 and the sum are exact integer math
     val cents = Tables.lineitem(spark, dir)
-      .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+      .withColumn("cents",
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
     cents.groupBy(col("l_returnflag"))
       .agg(sum(col("cents")).as("cents_total"),
         count(lit(1)).as("n_items"))
@@ -185,7 +192,10 @@ object EtlQueries {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .agg(count(lit(1)).as("n_interactions"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_value"))
+        // DECIMAL sum: exact at any partitioning, floated at the edge
+        round(sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("decimal(18,4)"))
+          .cast("double"), 4).as("total_value"))
       .orderBy(col("src"), col("dst"))
 
   /**
@@ -195,20 +205,25 @@ object EtlQueries {
    * list. One union + one keyed aggregation.
    */
   def graphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    // flow weights carried as DECIMAL(18,4): the sum is exact integer
+    // math at any partitioning, so no summation-order drift vs the
+    // oracle; floated only at the output edge
+    val w = (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("decimal(18,4)")
+    val zero = lit(0).cast("decimal(18,4)")
     val edges = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("w"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"), w.as("w"))
     val out = edges.select(col("src").as("node"), lit("cust").as("side"),
-      lit(1L).as("out_n"), col("w").as("out_w"), lit(0L).as("in_n"), lit(0.0).as("in_w"))
+      lit(1L).as("out_n"), col("w").as("out_w"), lit(0L).as("in_n"), zero.as("in_w"))
     val in = edges.select(col("dst").as("node"), lit("supp").as("side"),
-      lit(0L).as("out_n"), lit(0.0).as("out_w"), lit(1L).as("in_n"), col("w").as("in_w"))
+      lit(0L).as("out_n"), zero.as("out_w"), lit(1L).as("in_n"), col("w").as("in_w"))
     out.unionByName(in)
       .groupBy(col("node"), col("side"))
       .agg(sum(col("out_n")).as("out_degree"),
-        round(sum(col("out_w")), 4).as("out_value"),
+        round(sum(col("out_w")).cast("double"), 4).as("out_value"),
         sum(col("in_n")).as("in_degree"),
-        round(sum(col("in_w")), 4).as("in_value"))
+        round(sum(col("in_w")).cast("double"), 4).as("in_value"))
       .orderBy(col("side"), col("node"))
   }
 
@@ -321,11 +336,12 @@ object EtlQueries {
         | coalesce(round(sum(l_quantity), 4), 0.0) AS sum_qty,
         | count(DISTINCT l_suppkey) AS num_suppliers,
         | coalesce(array_to_string(list_sort(list(DISTINCT l_suppkey) FILTER (l_suppkey IS NOT NULL)), ','), '') AS suppliers,
-        | coalesce(round(sum(CASE WHEN signed_value > 0 THEN signed_value ELSE 0 END), 4), 0.0) AS value_in,
-        | coalesce(round(sum(CASE WHEN signed_value < 0 THEN signed_value ELSE 0 END), 4), 0.0) AS value_out
+        | coalesce(round(CAST(sum(CASE WHEN signed_value > 0 THEN signed_value ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 4), 0.0) AS value_in,
+        | coalesce(round(CAST(sum(CASE WHEN signed_value < 0 THEN signed_value ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 4), 0.0) AS value_out
         |FROM orders LEFT JOIN (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
-        |    CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END AS signed_value
+        |    CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(12,2))
+        |         ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END AS signed_value
         |  FROM lineitem) li ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_custkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
@@ -380,12 +396,15 @@ object EtlQueries {
         |             ELSE 0 END AS signed
         |      FROM events) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // CAST(sum(...) AS BIGINT): DuckDB's sum over BIGINT is HUGEINT,
+    // which pandas renders as float64 and flips the driver's value hash
+    // against Spark's int64 even when every cell is equal (round-1 bug)
     "scaled_decimal" ->
       """SELECT l_returnflag,
-        | sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents_total,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_total,
         | count(*) AS n_items,
         | 2 AS scale,
-        | round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS value_scaled
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0, 2) AS value_scaled
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "entity_classify" ->
@@ -428,23 +447,30 @@ object EtlQueries {
     "graph_edges" ->
       """SELECT o_custkey AS src, l_suppkey AS dst,
         | count(*) AS n_interactions,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_value
+        | round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // degrees CAST to BIGINT (HUGEINT→float64 hash trap) and weights
+    // summed as DECIMAL(18,4), mirroring the Spark side exactly
     "graph_degrees" ->
       """WITH edges AS (
         |  SELECT o_custkey AS src, l_suppkey AS dst,
-        |    l_extendedprice * (1 - l_discount) AS w
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS w
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |sides AS (
         |  SELECT src AS node, 'cust' AS side, 1::BIGINT AS out_n, w AS out_w,
-        |    0::BIGINT AS in_n, 0.0 AS in_w FROM edges
+        |    0::BIGINT AS in_n, CAST(0 AS DECIMAL(18,4)) AS in_w FROM edges
         |  UNION ALL
-        |  SELECT dst AS node, 'supp' AS side, 0::BIGINT AS out_n, 0.0 AS out_w,
+        |  SELECT dst AS node, 'supp' AS side, 0::BIGINT AS out_n,
+        |    CAST(0 AS DECIMAL(18,4)) AS out_w,
         |    1::BIGINT AS in_n, w AS in_w FROM edges)
         |SELECT node, side,
-        | sum(out_n) AS out_degree, round(sum(out_w), 4) AS out_value,
-        | sum(in_n) AS in_degree, round(sum(in_w), 4) AS in_value
+        | CAST(sum(out_n) AS BIGINT) AS out_degree,
+        | round(CAST(sum(out_w) AS DOUBLE), 4) AS out_value,
+        | CAST(sum(in_n) AS BIGINT) AS in_degree,
+        | round(CAST(sum(in_w) AS DOUBLE), 4) AS in_value
         |FROM sides GROUP BY 1, 2 ORDER BY side, node""".stripMargin,
     "json_extract" ->
       """SELECT event_id, event_type,

@@ -77,7 +77,7 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("part_revenue"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("part_revenue").desc, col("p_partkey"))
-    rev.withColumn("rnk", row_number().over(w))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("p_brand"), col("rnk"))
   }
@@ -269,7 +269,10 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("ndv_custkey"),
         countDistinct(col("o_orderstatus")).as("ndv_status"),
         countDistinct(col("o_orderpriority")).as("ndv_priority"),
-        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priorities"),
+        // count(CASE), not sum(CASE): DuckDB's sum over ints is HUGEINT
+        // (→ float64 in pandas → driver hash flip); count is BIGINT in
+        // both engines
+        count(when(col("o_orderpriority").isNull, lit(1))).as("null_priorities"),
         round(min(col("o_totalprice")), 4).as("min_price"),
         round(max(col("o_totalprice")), 4).as("max_price"),
         min(col("o_orderdate")).as("first_date"),
@@ -351,7 +354,7 @@ object RelationalQueries {
         | count(DISTINCT o_custkey) AS ndv_custkey,
         | count(DISTINCT o_orderstatus) AS ndv_status,
         | count(DISTINCT o_orderpriority) AS ndv_priority,
-        | coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS null_priorities,
+        | count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS null_priorities,
         | round(min(o_totalprice), 4) AS min_price,
         | round(max(o_totalprice), 4) AS max_price,
         | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date

@@ -93,7 +93,10 @@ object EventStreams {
         min(us).as("session_start_us"),
         max(us).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"))
+        // value summed as DECIMAL (exact cents): bit-identical at any
+        // partitioning/summation order, floated only at the edge
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 4)
+          .as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -106,7 +109,9 @@ object EventStreams {
   def sessionWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 4)
+          .as("total_value"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
@@ -205,20 +210,24 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_id CAST to BIGINT (DuckDB windowed sum(int) is HUGEINT →
+    // float64 in pandas → driver hash flip vs Spark's int64);
+    // total_value summed as DECIMAL to mirror the Spark side exactly
     "stream_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         | FROM events),
         |s AS (
-        | SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        | SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
         |                    THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY us, event_id
-        |         ROWS UNBOUNDED PRECEDING) AS session_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         | FROM g)
         |SELECT user_id, session_id,
         | min(us) AS session_start_us, max(us) AS session_end_us,
-        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // session_window end = last event + gap; the window is
     // end-EXCLUSIVE, so an event at exactly prev+gap opens a NEW
@@ -237,7 +246,8 @@ object EventStreams {
         |SELECT user_id,
         | min(us) AS session_start_us,
         | max(us) + 1800000000 AS session_end_us,
-        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin)
 }
