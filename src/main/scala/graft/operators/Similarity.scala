@@ -84,21 +84,18 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
 
   /**
-   * 16-bit random-hyperplane code: bit p = sign(v · plane_p).
+   * nPlanes-bit random-hyperplane code: bit p = sign(v · plane_p).
    * Planes are pseudo-random but deterministic (seeded), generated
-   * driver-side as literals — they are model parameters, not data.
+   * driver-side — model parameters, not data. Computed by the native
+   * codegen'd `HyperplaneCodeD` (one pass over the vector for all
+   * bits); the interpreted aggregate/zip_with formulation of the same
+   * math was ~8× slower and re-inlined the upstream cast per plane.
    */
   def hyperplaneCode(vecCol: Column, dim: Int, nPlanes: Int = 16,
       seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
-    val bits = (0 until nPlanes).map { p =>
-      val plane = array(planes(p).map(w => lit(w)): _*)
-      val d = aggregate(zip_with(vecCol, plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }
-    bits.reduce(_ + _)
+    graft.functions.VectorFunctions.hyperplaneCode(vecCol, planes)
   }
 
   /**
