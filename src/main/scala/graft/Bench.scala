@@ -17,19 +17,43 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
-    // two timed runs, report the min — absorbs GC/compilation noise
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // two timed runs, report the min — absorbs GC/compilation noise.
+    // A failed run must NOT report a plausible wall time: the error is
+    // carried per query (value -1) so the bench signal can't lie.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          Some((t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("")).take(160)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks leaked by this run's localCheckpoint/persist calls
+      // (iterative operators checkpoint per round): 66 queries × 2 runs
+      // would otherwise pile hundreds of cached partitions into the
+      // block manager, squeezing execution memory for later queries —
+      // timings would depend on run order and driver heap, not the plan
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (dt, err)
     }
     val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (t1, e1) = timeOnce(fn)
+      val (t2, e2) = timeOnce(fn)
+      name -> (math.min(t1, t2), e1.orElse(e2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (t, err)) =>
+      s"\"" + k + "\":" + (if (err.isDefined) "-1" else t)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      s"\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, (t, None)) => t }
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val nErr = results.count(_._2._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }
