@@ -172,16 +172,46 @@ object RelationalQueries {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
-  /** Decile bucketing via ntile with an exact-column tie-break, then
-    * per-decile stats — the distribution-profiling shape. A global
-    * ntile is inherently a total order (Spark runs it one-partition);
-    * exact deciles at 100 TB instead come from repartitionByRange +
-    * per-partition offsets, or approximately from the GK sketch
-    * (q_approx_percentile) — this is the exact small-dim form. */
+  /** Exact decile bucketing + per-decile stats, WITHOUT the
+    * single-partition total sort a global ntile() implies. The scale
+    * form: range-repartition on the sort key, rank within each range
+    * partition, add broadcast cumulative offsets from the per-partition
+    * counts (one row per partition — constant-sized, never data-sized),
+    * then ntile's bucket arithmetic from the global count. Every
+    * data-sized stage runs at full parallelism; the only
+    * single-partition window is over `parts` rows (32 here, one per
+    * executor-ish at cluster scale). Same oracle as ntile(10). */
   def ntileSpread(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("decile"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // checkpoint pins partition ids: the offsets branch and the ranking
+    // branch must observe the SAME range partitioning
+    val base = Tables.customer(spark, dir)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val total = base.count() // single scalar: ntile's N (model parameter)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    // ntile(10): first (N mod 10) buckets hold ceil(N/10) rows.
+    // q = 0 (N < 10) is safe: bigCut = N covers every rank, so the
+    // otherwise-branch (and its division by q) is never evaluated —
+    // CaseWhen codegen is lazy per branch.
+    val q = lit(total / 10)
+    val rem = lit(total % 10)
+    val bigCut = (q + lit(1)) * rem
+    val rnk = col("off") + row_number().over(wLocal)
+    val decile = when(rnk <= bigCut,
+        floor((rnk - 1) / (q + lit(1))) + 1)
+      .otherwise(rem + floor((rnk - lit(1) - bigCut) / q) + 1)
+      .cast("long")
+    base.join(broadcast(offsets), "pid")
+      .select(col("c_acctbal"), decile.as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("c_acctbal")), 4).as("lo"),

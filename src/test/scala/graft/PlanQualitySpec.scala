@@ -48,6 +48,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ntile spread never sorts the data on a single partition") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val exec = SparkEntry.queries("q_ntile_spread")(spark, dir)
+      .queryExecution.executedPlan
+    // the data-sized sort (on c_acctbal) must run at full parallelism;
+    // only constant-sized relations (per-partition counts, the 10-row
+    // result) may ever occupy one partition
+    val badSorts = exec.collect {
+      case s: SortExec
+          if s.sortOrder.exists(_.child.references.exists(_.name == "c_acctbal"))
+            && s.outputPartitioning == SinglePartition => s
+    }
+    assert(badSorts.isEmpty,
+      s"c_acctbal sorted on a single partition:\n$exec")
+  }
+
   test("no query in the registry plans an unkeyed cartesian product") {
     // exact all-pairs verify stages are the documented exception: their
     // non-equi self-join is a BroadcastNestedLoopJoin at oracle SF and
