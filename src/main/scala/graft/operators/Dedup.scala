@@ -158,11 +158,13 @@ object Dedup {
    * intact block (pigeonhole), so the block join finds all such pairs
    * without an all-pairs scan.
    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // one explode + 64 conditional sums (hash each token once, not
-    // once per bit); the signature long is assembled from the 64
-    // aggregated bit votes with literal shifts
+  /** 64-bit SimHash signature per document: one explode + 64
+    * conditional sums (hash each token once, not once per bit); the
+    * signature long is assembled from the aggregated bit votes with
+    * literal shifts. Exposed for the recall spec, which proves the
+    * banded join below finds EXACTLY the brute-force hamming pairs. */
+  private[operators] def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc"),
         explode(array_distinct(words(col(textCol)))).as("t"))
@@ -171,10 +173,15 @@ object Dedup {
       .agg(sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1L).otherwise(-1L)).as("b0"),
         (1 until 64).map(b =>
           sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$b")): _*)
-    val sigs = bitVotes.select(col("doc"),
+    bitVotes.select(col("doc"),
       (0 until 64).map(b =>
         shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
         .reduce(_ bitwiseOR _).as("sig"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
     // shiftright with a per-band offset needs SQL (literal-only in the DSL)
     val banded = sigs.selectExpr("doc", "sig",
         "posexplode(transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS block)))")
@@ -205,24 +212,32 @@ object Dedup {
    * for what this approximates.
    */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+      threshold: Double, dim: Int, bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.dotd
-    val coded = df.select(col(idCol).as("id"),
+    val vecs = df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
-      .withColumn("code",
-        Similarity.hyperplaneCode(col("v"), dim, bands * planesPerBand))
-    val banded = coded.select(col("id"), col("v"), col("nrm"),
+    val coded = vecs.withColumn("code",
+      Similarity.hyperplaneCode(col("v"), dim, bands * planesPerBand))
+    // candidate generation is NARROW (id, band, bucket): the band join
+    // and the multi-band-hit distinct shuffle longs, not vectors; the
+    // vectors are fetched by equi-join once per UNIQUE pair, so each
+    // surviving pair's cosine is computed exactly once
+    val banded = coded.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("code"), b * planesPerBand)
           .bitwiseAND(lit((1 << planesPerBand) - 1))
       }: _*)).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(dotd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    cands
+      .join(vecs.as("va"), col("id1") === col("va.id"))
+      .join(vecs.as("vb"), col("id2") === col("vb.id"))
+      .select(col("id1"), col("id2"),
+        round(dotd(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }

@@ -68,6 +68,51 @@ object Similarity {
   }
 
   /**
+   * Blocked k-NN JOIN — the 100 TB sibling of `knnJoin`: candidates
+   * come from shared hyperplane-band buckets (equi-join on (band,
+   * bucket) — the same banding `Dedup.embeddingNearDupLsh` uses), so
+   * no nested loop ever sees the full corpus. Exact cosine runs only
+   * within buckets; per-item top-k over the candidate set. Approximate
+   * by construction (recall tunable via bands × planesPerBand — more
+   * bands = more candidate buckets per item); `knnJoin` is its exact
+   * oracle, and the recall spec pins the floor at test SF.
+   */
+  def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+    val coded = vecs.withColumn("code",
+      hyperplaneCode(col("v"), dim, bands * planesPerBand))
+    // candidate generation is NARROW (id, band, bucket) — the band join
+    // and multi-band-hit distinct shuffle longs, not vectors; vectors
+    // are fetched by equi-join once per unique half-pair (id1 < id2),
+    // so each unordered pair's dot product is computed exactly once,
+    // then mirrored
+    val banded = coded.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("code"), b * planesPerBand)
+          .bitwiseAND(lit((1 << planesPerBand) - 1))
+      }: _*)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val half = cands
+      .join(vecs.as("va"), col("id1") === col("va.id"))
+      .join(vecs.as("vb"), col("id2") === col("vb.id"))
+      .select(col("id1").as("src_id"), col("id2").as("nbr_id"),
+        round(dot(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm")), 6).as("cos"))
+    val sym = half.union(half.select(
+      col("nbr_id").as("src_id"), col("src_id").as("nbr_id"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("src_id"), col("rk"))
+  }
+
+  /**
    * Per-label centroid vectors as (label, dim, mean) rows: posexplode
    * to dimension granularity, one keyed aggregation. The row form IS
    * the scalable layout — a group-avg of array columns would need the
@@ -140,22 +185,35 @@ object Similarity {
   }
 
   /**
-   * ANN top-k: prune to vectors whose hyperplane code is within
-   * `maxCodeHamming` bits of the query's code, then exact cosine on
-   * the surviving candidates only.
+   * ANN top-k, band-bucketed: the corpus is exploded into (band,
+   * bucket) rows from a bands×planesPerBand hyperplane code; candidates
+   * are vectors sharing at least one band value with the query (an
+   * equi-join against the query's `bands` broadcast rows), then exact
+   * cosine on candidates only. At cluster scale the (band, bucket) key
+   * IS the partition/bucketing key, so a query reads only its buckets'
+   * partitions — the earlier scan-and-filter (hamming ≤ t over every
+   * row's code) still touched the whole corpus per query.
    */
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, dim: Int,
-      maxCodeHamming: Int = 4, extraCols: Seq[String] = Nil): DataFrame = {
+      bands: Int = 16, planesPerBand: Int = 4,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val coded = withNorm(df, idCol +: extraCols, vecCol)
-      .withColumn("code", hyperplaneCode(col("v"), dim))
-    val query = coded.filter(col(idCol) === queryId)
-      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("code").as("qcode"))
-    coded.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(query))
-      .filter(bit_count(col("code").bitwiseXOR(col("qcode"))) <= maxCodeHamming)
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .select((idCol +: extraCols).map(col) :+ col("cos"): _*)
+      .withColumn("code", hyperplaneCode(col("v"), dim, bands * planesPerBand))
+    val banded = coded.select(
+      (idCol +: extraCols).map(col) ++ Seq(col("v"), col("nrm"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("code"), b * planesPerBand)
+            .bitwiseAND(lit((1 << planesPerBand) - 1))
+        }: _*)).as(Seq("band", "bucket"))): _*)
+    val query = banded.filter(col(idCol) === queryId)
+      .select(col("band"), col("bucket"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    banded.filter(col(idCol) =!= queryId)
+      .join(broadcast(query), Seq("band", "bucket"))
+      .select((idCol +: extraCols).map(col) :+
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"): _*)
+      .distinct()
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

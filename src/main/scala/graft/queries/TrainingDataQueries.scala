@@ -83,21 +83,24 @@ object TrainingDataQueries {
         threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, dim = 64)),
+        threshold = 0.4, dim = 64, bands = 16, planesPerBand = 4)),
     "embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
     "knn_join" -> ((s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)),
+    "knn_join_blocked" -> ((s, d) =>
+      Similarity.knnJoinBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, dim = 64, bands = 16, planesPerBand = 4)),
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 25, extraCols = Seq("label"))),
     "ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, dim = 64, maxCodeHamming = 4,
+        queryId = 0L, k = 10, dim = 64, bands = 16, planesPerBand = 4,
         extraCols = Seq("label"))),
     "ivf_ann" -> ((s, d) =>
       Similarity.ivfAnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, nCentroids = 16, nProbe = 2,
+        queryId = 0L, k = 10, nCentroids = 16, nProbe = 8,
         extraCols = Seq("label"))),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),

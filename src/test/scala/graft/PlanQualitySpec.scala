@@ -48,6 +48,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("blocked knn-join generates candidates by equi-join, never a nested loop") {
+    val p = plan("knn_join_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ntile spread never sorts the data on a single partition") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
