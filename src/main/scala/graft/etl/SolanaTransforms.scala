@@ -268,6 +268,41 @@ object SolanaTransforms {
         col("blockhash"), col("path"))
   }
 
+  /**
+   * ACCOUNTS table — the per-account surface the reference carries on
+   * every transaction but only exposes via `accounts_by_type`:
+   * one row per (transaction, account index) with the signer/writable
+   * flags (`Account.py:14-27`), the rule-ordered type classification
+   * (`Transaction.py:160-178`: SYSVAR → PROGRAM → TOKEN → COIN), and
+   * the account's lamports delta from pre/postBalances (matched by
+   * index, `BalanceChange.py`). Auditing fee payers (index 0, always a
+   * signer) or writable-account contention starts here.
+   */
+  def accounts(blocks: DataFrame): DataFrame =
+    txLevel(blocks)
+      .select(col("time"), col("signature"), col("blockhash"), col("path"),
+        col("is_successful").as("isSuccessful"),
+        col("programs"), col("token_keys"), col("tx"),
+        posexplode(col("tx.transaction.message.accountKeys"))
+          .as(Seq("index", "acct")))
+      .select(
+        col("time"),
+        col("signature"),
+        col("index"),
+        col("acct.pubkey").as("key"),
+        col("acct.signer").as("signer"),
+        col("acct.writable").as("writable"),
+        expr(
+          """CASE WHEN lower(acct.pubkey) LIKE 'sysvar%' THEN 'SYSVAR'
+            |     WHEN array_contains(programs, acct.pubkey) THEN 'PROGRAM'
+            |     WHEN coalesce(array_contains(token_keys, acct.pubkey), false) THEN 'TOKEN'
+            |     ELSE 'COIN' END""".stripMargin).as("accountType"),
+        (expr("get(tx.meta.postBalances, index)")
+          - expr("get(tx.meta.preBalances, index)")).as("lamportsChange"),
+        col("isSuccessful"),
+        col("blockhash"),
+        col("path"))
+
   /** BLOCKS table (TransformTask.py:153-178): per-block metrics split successful × errored. */
   def blockInfo(blocks: DataFrame): DataFrame = {
     val tx = txLevel(blocks)

@@ -257,9 +257,14 @@ object EtlQueries {
         .join(outdeg, "src").join(edges, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("odeg")).as("c"))
+      // lazy per-round checkpoint: plan depth stays constant per
+      // iteration (each round reads the previous round's materialized
+      // rows, not its whole lineage), so 50 iterations cost the same
+      // per-round planning as 5
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))
@@ -296,6 +301,38 @@ object EtlQueries {
   }
 
   /**
+   * Per-sub-entity flag surface ≈ the per-account Account rows
+   * (`Account.py:14-27`) the reference carries on every transaction:
+   * positional explode of an entity's sub-records with boolean role
+   * flags (signer/writable ≈ first-position/returned), a rule-ordered
+   * type classification (`Transaction.py:160-178` shape), and the
+   * sub-record's signed value delta. One shuffle to build the nested
+   * array, one codegen'd explode — same plan shape as the real
+   * `SolanaTransforms.accounts`.
+   */
+  def accountFlags(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price")))).as("items"))
+    nested
+      .select(col("l_orderkey"), posexplode(col("items")).as(Seq("pos", "it")))
+      .select(
+        col("l_orderkey"),
+        col("pos").cast("long").as("pos"),
+        col("it.l_partkey").as("key"),
+        (col("pos") === 0).as("signer"),
+        (col("it.l_returnflag") === "R").as("writable"),
+        when(col("it.l_returnflag") === "R", "RETURNED")
+          .when(col("it.price") > 50000, "LARGE")
+          .otherwise("STANDARD").as("account_type"),
+        round(when(col("it.l_returnflag") === "R", -col("it.price"))
+          .otherwise(col("it.price")).cast("double"), 2).as("value_change"))
+      .orderBy(col("l_orderkey"), col("pos"))
+  }
+
+  /**
    * Valid/error row routing ≈ the ResultsAndErrors side-channel
    * (`FileOutput.py:66-90`, `TransformTask.py:19-51`): every transform
    * emits good rows plus an error table; here one pass routes each
@@ -327,6 +364,7 @@ object EtlQueries {
     "graph_pagerank" -> graphPageRank _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
+    "account_flags" -> accountFlags _,
     "error_split" -> errorSplit _)
 
   val oracleSql: Map[String, String] = Map(
@@ -487,6 +525,23 @@ object EtlQueries {
         |     ORDER BY l_linenumber, l_partkey, l_quantity) - 1) AS gen_id
         |FROM lineitem
         |ORDER BY l_orderkey, pos""".stripMargin,
+    "account_flags" ->
+      """WITH t AS (
+        |  SELECT l_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_returnflag,
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) - 1 AS BIGINT) AS pos,
+        |    l_partkey AS key, l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        |  FROM lineitem)
+        |SELECT l_orderkey, pos, key,
+        |  pos = 0 AS signer,
+        |  l_returnflag = 'R' AS writable,
+        |  CASE WHEN l_returnflag = 'R' THEN 'RETURNED'
+        |       WHEN price > 50000 THEN 'LARGE'
+        |       ELSE 'STANDARD' END AS account_type,
+        |  round(CAST(CASE WHEN l_returnflag = 'R' THEN -price ELSE price END AS DOUBLE), 2) AS value_change
+        |FROM t ORDER BY l_orderkey, pos""".stripMargin,
     "error_split" ->
       """SELECT event_id,
         | CASE WHEN event_type = 'error' THEN 'error'

@@ -178,6 +178,36 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/out_transfers").count() == 394 + 194)
   }
 
+  test("accounts table exposes signer/writable flags and per-account deltas") {
+    assume(new java.io.File(fixture).exists(), "reference fixture not present")
+    val blocks = BlockIngest.read(spark, fixture)
+    val acc = SolanaTransforms.accounts(blocks)
+    // the fee payer (index 0) is signer+writable on every transaction
+    assert(acc.filter(col("index") === 0 &&
+      (!col("signer") || !col("writable"))).count() == 0)
+    // flags are real data, not nulls
+    assert(acc.filter(col("signer")).count() > 0)
+    assert(acc.filter(!col("writable")).count() > 0)
+    // the test_Transaction.py subject: 14 accounts, lamports deltas sum
+    // to -fee, and the per-type counts match its accounts_by_type sets
+    val sig =
+      "2XMqtpXpp83pupsM5iiie2s69iRTHrV6oA6zxDTY9hRC4M2Rr9Yh5knSkBZbk22Wt7Qv88akacJifnaX6oL5ncqS"
+    val rows = acc.filter(col("signature") === sig)
+    assert(rows.count() == 14)
+    assert(rows.agg(sum(col("lamportsChange"))).head().getLong(0) == -10000L)
+    val types = rows.groupBy(col("accountType")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("SYSVAR" -> 2L, "PROGRAM" -> 5L, "TOKEN" -> 1L, "COIN" -> 6L))
+    // distinct-key census per type across the block == the
+    // accounts_by_type census test_Transactions.py asserts
+    def census(t: String): Long =
+      acc.filter(col("accountType") === t).select(col("key")).distinct().count()
+    assert(census("SYSVAR") == 4)
+    assert(census("PROGRAM") == 27)
+    assert(census("TOKEN") == 211)
+    assert(census("COIN") == 3480)
+  }
+
   test("real mainnet block reproduces the accounts_by_type census") {
     assume(new java.io.File(fixture).exists(), "reference fixture not present")
     val blocks = BlockIngest.read(spark, fixture)
