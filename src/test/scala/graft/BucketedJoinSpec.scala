@@ -24,8 +24,29 @@ class BucketedJoinSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** Drop the table AND its physical location: warehouse.dir is a
+    * STATIC conf, so when another suite created the JVM's session
+    * first this spec runs against the default ./spark-warehouse — and
+    * a leftover directory from a previous JVM (whose in-memory
+    * metastore is gone) makes saveAsTable fail LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
+    dropManaged("orders_b")
+    dropManaged("lineitem_b")
     spark.read.parquet(s"$dir/orders.parquet")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("orders_b")
