@@ -40,12 +40,13 @@ object FileSink {
       .csv(path)
 
   /**
-   * All three task tables + error table under `destDir`, mirroring the
-   * `{destination}_{task}` naming of the reference.
+   * All task tables + error table under `destDir`, mirroring the
+   * `{destination}_{task}` naming of the reference (plus the accounts
+   * surface the reference keeps internal).
    *
    * The parsed blocks persist (spilling to disk) for the fan-out:
-   * four outputs over one parse. Re-parsing per output would read and
-   * parse every block file four times — and large real blocks (a
+   * five outputs over one parse. Re-parsing per output would read and
+   * parse every block file five times — and large real blocks (a
    * mainnet block is a single ~40 MB JSON line) make the repeated
    * parse both the dominant cost and a transient-memory hazard.
    */
@@ -56,6 +57,7 @@ object FileSink {
     try SolanaTransforms.withBlockEtlPlanning(blocks.sparkSession) {
       out(SolanaTransforms.transactions(cached), s"${destDir}_transactions")
       out(SolanaTransforms.transfers(cached), s"${destDir}_transfers")
+      out(SolanaTransforms.accounts(cached), s"${destDir}_accounts")
       out(SolanaTransforms.blockInfo(cached), s"${destDir}_blocks")
       out(BlockIngest.errors(cached), s"${destDir}_errors")
     } finally cached.unpersist()
