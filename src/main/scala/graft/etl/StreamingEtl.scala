@@ -39,8 +39,9 @@ object StreamingEtl {
       .start()
 
   /**
-   * Wire transactions + transfers streams from a blocks directory.
-   * Returns the running queries; caller awaits/stops them.
+   * Wire the stateless task tables (transactions, transfers, accounts)
+   * as streams from a blocks directory. Returns the running queries;
+   * caller awaits/stops them.
    */
   def start(spark: SparkSession, blocksDir: String, destDir: String): Seq[StreamingQuery] = {
     val blocks = readBlockStream(spark, blocksDir)
@@ -49,7 +50,9 @@ object StreamingEtl {
         startTask(SolanaTransforms.transactions(blocks),
           s"${destDir}_transactions", s"$destDir/.ckpt_transactions"),
         startTask(SolanaTransforms.transfers(blocks),
-          s"${destDir}_transfers", s"$destDir/.ckpt_transfers"))
+          s"${destDir}_transfers", s"$destDir/.ckpt_transfers"),
+        startTask(SolanaTransforms.accounts(blocks),
+          s"${destDir}_accounts", s"$destDir/.ckpt_accounts"))
     }
   }
 }

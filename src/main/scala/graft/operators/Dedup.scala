@@ -269,6 +269,21 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var lastSig = signature(edges)
+    // size the loop's shuffles to the edge count, not the session
+    // default: each round is several keyed shuffles over a set that's
+    // usually FAR smaller than the corpus (near-dup pairs), and a
+    // tiny round on 32 partitions is pure scheduling overhead. At
+    // scale the count grows and this becomes the session default
+    // again — same sized-to-data principle as the streaming state
+    // partitions. Scoped set/restore: plans capture the conf at
+    // action time, and every loop action happens inside the loop.
+    val spark = pairs.sparkSession
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(defaultParts,
+      math.max(4, (lastSig._1 / 100000L).toInt + 1))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
@@ -295,6 +310,7 @@ object Dedup {
       edges = ss
       iter += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // fixpoint is a star per component: u → component min, plus the min itself
     edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))

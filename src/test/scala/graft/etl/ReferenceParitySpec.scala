@@ -176,6 +176,11 @@ class ReferenceParitySpec extends AnyFunSuite {
     try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
     assert(spark.read.parquet(s"$dest/out_transactions").count() == 3439 + 4435)
     assert(spark.read.parquet(s"$dest/out_transfers").count() == 394 + 194)
+    // accounts stream: every transaction contributes ≥1 account row,
+    // and the fee payer (index 0) is always a signer
+    val acc = spark.read.parquet(s"$dest/out_accounts")
+    assert(acc.select(col("signature")).distinct().count() == 3439 + 4435)
+    assert(acc.filter(col("index") === 0 && !col("signer")).count() == 0)
   }
 
   test("accounts table exposes signer/writable flags and per-account deltas") {
