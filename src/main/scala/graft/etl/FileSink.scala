@@ -24,6 +24,16 @@ object FileSink {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC output — the other columnar format warehouses commonly mandate;
+    * same partitioning contract as parquet. */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /**
    * Schema'd CSV read-back — the other half of the reference's CSV
    * mode. The explicit schema (from the writing DataFrame or a

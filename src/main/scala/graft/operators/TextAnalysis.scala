@@ -128,6 +128,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // PII patterns shared by the Spark and oracle sides — restricted to
+  // syntax Java regex and RE2 (DuckDB) interpret identically
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /**
+   * PII scrubbing — the redaction pass every training corpus runs
+   * before the tokenizer: emails, SSNs, phone numbers, and IPv4
+   * addresses replaced with typed tags, with per-document match counts
+   * for audit. Pure codegen'd regexp expressions, one scan; patterns
+   * are deliberately the RE2-compatible subset so the same strings
+   * drive the DuckDB oracle. SSN before phone: both are digit-dash
+   * shapes and replacement order is part of the contract.
+   */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+        col(idCol),
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(t, lit(SsnRe)).cast("long").as("n_ssns"),
+        regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, EmailRe, "[EMAIL]"),
+              SsnRe, "[SSN]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]").as("scrubbed"))
+      .withColumn("is_clean",
+        col("n_emails") + col("n_ssns") + col("n_phones") + col("n_ips") === 0)
+      .orderBy(col(idCol))
+  }
+
   /**
    * Content fingerprint: normalize (lowercase, strip non-alnum,
    * collapse whitespace) then hash; join back the fingerprint group

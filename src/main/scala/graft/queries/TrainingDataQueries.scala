@@ -113,7 +113,9 @@ object TrainingDataQueries {
     "tfidf_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)),
     "corpus_split" -> ((s, d) =>
-      TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")))
+      TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")),
+    "pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")))
 
   def oracleSql: Map[String, String] = Map(
     "dedup_components" ->
@@ -252,6 +254,22 @@ object TrainingDataQueries {
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
         | round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0 /
         |   len(string_split_regex(lower(trim(text)), '\s+')), 4) AS tokens_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+        | len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        | len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        | '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |  + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |  + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) = 0 AS is_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,

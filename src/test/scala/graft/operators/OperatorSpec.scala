@@ -17,6 +17,32 @@ class OperatorSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("pii scrub redacts planted identifiers and counts them") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.1"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("scrubbed"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_ssns"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[Boolean]("is_clean"))).toMap
+    assert(got(1L) == ("mail me at [EMAIL] today", 1L, 0L, 0L, 0L, false))
+    // SSN redacts before the phone pattern can claim it; the dotted
+    // quad after "ip" is an IP, not a phone
+    assert(got(2L) == ("ssn [SSN] phone [PHONE] ip [IP]", 0L, 1L, 1L, 1L, false))
+    assert(got(3L) == ("nothing sensitive here at all", 0L, 0L, 0L, 0L, true))
+  }
+
+  test("orc round-trips a task table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    graft.etl.FileSink.writeOrc(df, s"$dir/t")
+    val back = graft.etl.FileSink.readOrc(spark, s"$dir/t")
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("id", "text")
     val got = Dedup.exact(df, "id", "text").collect()
