@@ -70,4 +70,43 @@ class PropertySpec extends AnyFunSuite {
         s.sliding(2).forall { case Seq(a, b) => b == a * 2; case _ => true }
     })
   }
+
+  test("extract slot walk covers [min,max] exactly once in either direction") {
+    val gen = for {
+      a <- Gen.choose(0L, 1_000_000L)
+      b <- Gen.choose(0L, 1_000_000L)
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val walk = graft.etl.ExtractClient.slots(a, Some(b)).toList
+      val lo = math.min(a, b)
+      val hi = math.max(a, b)
+      walk.length == (hi - lo + 1) &&
+        walk.head == a && walk.last == b &&
+        walk.toSet == (lo to hi).toSet
+    })
+  }
+
+  test("ntile bucket arithmetic matches the rank definition for any N") {
+    // the decile formula q_ntile_spread distributes: first (N mod k)
+    // buckets get ceil(N/k) rows, the rest floor(N/k) — verified
+    // against a direct per-rank simulation
+    val gen = for {
+      n <- Gen.choose(1L, 5000L)
+      k <- Gen.choose(1, 20)
+    } yield (n, k)
+    check(Prop.forAll(gen) { case (n, k) =>
+      val q = n / k
+      val rem = n % k
+      val bigCut = (q + 1) * rem
+      def bucketOf(rnk: Long): Long =
+        if (rnk <= bigCut) (rnk - 1) / (q + 1) + 1
+        else rem + (rnk - 1 - bigCut) / q + 1
+      val sizes = (1L to n).map(bucketOf).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val expected = (1 to k).map(b =>
+        b.toLong -> (if (b <= rem) q + 1 else q)).filter(_._2 > 0).toMap
+      sizes == expected &&
+        (1L to n).map(bucketOf) == (1L to n).map(bucketOf).sorted
+    })
+  }
 }
