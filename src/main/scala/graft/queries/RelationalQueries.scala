@@ -243,6 +243,29 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Full-outer join: per-nation customer vs supplier census — both
+    * sides aggregated first (the outer join sees one row per key), and
+    * the key coalesced across sides. Exercises null handling on BOTH
+    * sides of the join, which no other registry query does. */
+  def fullOuterCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).as("cust_balance"))
+    val supp = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast("decimal(12,2)")).as("supp_balance"))
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        round(coalesce(col("cust_balance"), lit(0)).cast("double"), 2).as("cust_balance"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        round(coalesce(col("supp_balance"), lit(0)).cast("double"), 2).as("supp_balance"))
+      .orderBy(col("nationkey"))
+  }
+
   /** INTERSECT / EXCEPT set algebra on customer populations. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val building = Tables.customer(spark, dir)
@@ -361,6 +384,7 @@ object RelationalQueries {
     "q_trailing_window" -> trailingWindow _,
     "q_percentiles" -> percentiles _,
     "q_set_ops" -> setOps _,
+    "q_full_outer" -> fullOuterCensus _,
     "q_argmax" -> argmaxOrder _,
     "q_running_total" -> runningTotal _,
     "q_above_avg" -> aboveCustomerAvg _,
@@ -438,6 +462,20 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(12,2))) AS cust_balance
+        |  FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_suppliers,
+        |  sum(CAST(s_acctbal AS DECIMAL(12,2))) AS supp_balance
+        |  FROM supplier GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        | coalesce(n_customers, 0) AS n_customers,
+        | round(CAST(coalesce(cust_balance, 0) AS DOUBLE), 2) AS cust_balance,
+        | coalesce(n_suppliers, 0) AS n_suppliers,
+        | round(CAST(coalesce(supp_balance, 0) AS DOUBLE), 2) AS supp_balance
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_set_ops" ->
       """SELECT custkey FROM (
         | SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
