@@ -17,6 +17,40 @@ class OperatorSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("connected components agree with union-find on random graphs") {
+    val rng = new scala.util.Random(1234)
+    for (trial <- 1 to 8) {
+      val nNodes = 5 + rng.nextInt(60)
+      val nEdges = rng.nextInt(2 * nNodes)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find reference (path compression)
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = touched.map(n => n -> {
+          // component label = min node id in the component
+          val root = find(n.toInt)
+          touched.filter(m => find(m.toInt) == root).min
+        }).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("pii scrub redacts planted identifiers and counts them") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org today"),
