@@ -64,9 +64,33 @@ object TrainingDataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Semantic dedup end-to-end: embedding-cosine near-dup pairs →
+   * connected components → every vector labeled with its semantic
+   * cluster (min vec_id) and whether it is the cluster's canonical
+   * representative. The registry form uses the exact pair stage so the
+   * oracle can mirror it; at corpus scale the pair stage is
+   * `Dedup.embeddingNearDupLsh` (identical downstream plan — the CC
+   * and labeling stages only see (id1, id2) pairs).
+   */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4)
+    val comp = Dedup.connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("node", "vec_id")
+    emb.select(col("vec_id"), col("label"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
+    "dedup_semantic" -> semanticDedup _,
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -118,6 +142,22 @@ object TrainingDataQueries {
       TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")))
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_semantic" ->
+      """WITH RECURSIVE prs AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |und AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+        |reach(u, v) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY u)
+        |SELECT e.vec_id, e.label,
+        | coalesce(c.component, e.vec_id) AS cluster,
+        | e.vec_id = coalesce(c.component, e.vec_id) AS is_canonical
+        |FROM embeddings e LEFT JOIN comp c USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
