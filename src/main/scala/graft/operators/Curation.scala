@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs
+ * between raw ingest and the tokenizer: benchmark decontamination,
+ * deterministic mixture sampling, repetition filtering, and
+ * per-stratum quality selection.
+ *
+ * Scale design mirrors graft.operators.Dedup: candidate generation is
+ * always an equi-join on a hashed blocking key; the only windows are
+ * partitioned by a bounded stratum key (never a global sort); sampling
+ * is content-hash-deterministic so 1000 executors need no shared RNG
+ * state and a rerun reproduces the same corpus bit-for-bit.
+ */
+object Curation {
+
+  /**
+   * Benchmark decontamination — flag training documents that share any
+   * word n-gram with a held-out evaluation set. The standard guard
+   * against test-set leakage into a training corpus (the reference
+   * pipeline has no equivalent; this is LLM-pipeline surface).
+   *
+   * Shape at 100 TB: eval suites are tiny (10^4..10^6 shingles)
+   * relative to the corpus, so the distinct eval-shingle set is
+   * BROADCAST and the training-side scan never shuffles — each task
+   * hashes its shingles and probes the broadcast set locally. The one
+   * keyed shuffle is the per-doc count aggregate, with map-side
+   * partial counts. Shingles travel as xxhash64 longs (fixed width,
+   * collision odds irrelevant at these set sizes).
+   *
+   * @param train training documents (idCol, textCol)
+   * @param eval  evaluation/benchmark documents (idCol, textCol)
+   * @return one row per training doc: id, n_shared distinct shingles
+   *         that appear anywhere in the eval set, contaminated flag
+   */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val evalShingles = Dedup.shingleHashes(eval, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val shared = Dedup.shingleHashes(train, idCol, textCol, n)
+      .join(broadcast(evalShingles), "s")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy(col(idCol))
+  }
+
+  /**
+   * Deterministic per-stratum quota sampling — the mixture-control
+   * step that downsamples each source/domain to a target row budget.
+   * Rank within each stratum by md5 of the id (a content-derived
+   * uniform order), keep the first `quota`. No RNG: the sample is a
+   * pure function of the data, reproducible across reruns, engines,
+   * and repartitioning — on a cluster every executor agrees without
+   * coordination, and appending new data never evicts a previously
+   * sampled row that still ranks under quota.
+   *
+   * The window partitions by the stratum key only — work distributes
+   * across strata, and a single stratum is bounded by its own row
+   * count (for skewed strata, pre-filter with a cheap hash-range cut
+   * before ranking; at quota ≪ stratum size the rank is a top-k per
+   * key, which Spark executes with per-partition partial top-k).
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.select(col(idCol), col(strataCol),
+        row_number().over(w).cast("long").as("sample_rank"))
+      .filter(col("sample_rank") <= quota)
+      .orderBy(col(idCol))
+  }
+
+  /**
+   * Intra-document repetition score — the boilerplate/spam signal:
+   * fraction of a document's word n-grams that are repeats of an
+   * earlier n-gram in the same document. Computed from the exploded
+   * shingle table (codegen'd posexplode + lead, see
+   * Dedup.shingleHashes) with ONE shuffle keyed on the doc id
+   * (count + count-distinct partial-aggregate in the same pass).
+   * Documents shorter than n words score 0 (nothing to repeat).
+   */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = Dedup.shingleHashes(df, idCol, textCol, n, distinctRows = false)
+    val agg = sh.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("s")).as("n_distinct"))
+    df.select(col(idCol))
+      .join(agg.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(when(col("n_grams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct") / col("n_grams").cast("double")), 6))
+      .withColumn("is_repetitive", col("dup_ratio") > threshold)
+      .orderBy(col(idCol))
+  }
+
+  /**
+   * Per-stratum quality selection — keep the best half (or any
+   * `keepNumer/keepDenom` fraction) of each stratum by a quality
+   * column, integer-exact: a row stays iff rank·denom ≤ count·numer,
+   * with rank from a window ordered by (quality desc, id). Avoids
+   * percent_rank's float boundary (engines disagree in the last ulp
+   * exactly at the cut). The window partitions by stratum — same
+   * distribution argument as stratifiedSample.
+   */
+  def qualityStratified(df: DataFrame, idCol: String, strataCol: String,
+      qualityCol: String, keepNumer: Int = 1, keepDenom: Int = 2): DataFrame = {
+    val byStratum = Window.partitionBy(col(strataCol))
+    val w = byStratum.orderBy(col(qualityCol).desc, col(idCol))
+    df.select(col(idCol), col(strataCol), col(qualityCol),
+        row_number().over(w).cast("long").as("q_rank"),
+        count(lit(1)).over(byStratum).as("stratum_n"))
+      .filter(col("q_rank") * keepDenom <= col("stratum_n") * keepNumer)
+      .orderBy(col(idCol))
+  }
+}

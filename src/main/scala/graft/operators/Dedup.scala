@@ -39,18 +39,18 @@ object Dedup {
    * set-size counts.
    */
   private[operators] def shingleHashes(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, distinctRows: Boolean = true): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("pos"))
     val wordTable = df.select(col(idCol).as("doc"),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
     val withLeads = wordTable.select(col("doc") +: col("w").as("w0") +:
       (1 until n).map(k => lead(col("w"), k).over(byDoc).as(s"w$k")): _*)
-    withLeads
+    val rows = withLeads
       .filter(col(s"w${n - 1}").isNotNull) // concat_ws would silently drop nulls
       .select(col("doc"),
         xxhash64(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("s"))
-      .distinct()
+    if (distinctRows) rows.distinct() else rows
   }
 
   /**

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /**
  * §C/§D/§E — training-data pipeline operators bound to the testdata
@@ -139,7 +139,29 @@ object TrainingDataQueries {
     "corpus_split" -> ((s, d) =>
       TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")),
     "pii_scrub" -> ((s, d) =>
-      TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")))
+      TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")),
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // held-out eval slice: every 20th doc id (deterministic, ~5%)
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    }),
+    "corpus_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+        quota = 10)),
+    "repetition_score" -> ((s, d) =>
+      Curation.repetitionScore(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.2)),
+    "quality_stratified" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Curation.qualityStratified(
+        docs.select(col("doc_id"), col("source")).join(q, "doc_id"),
+        "doc_id", "source", "quality")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "dedup_semantic" ->
@@ -328,6 +350,56 @@ object TrainingDataQueries {
         |         ORDER BY score_ppm DESC, term) AS rk FROM scored)
         |SELECT doc_id, term, tf, df, score_ppm, rk
         |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS doc,
+        |         array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc % 20 = 0),
+        |hits AS (SELECT doc, count(*) AS n_shared
+        |         FROM sh JOIN ev USING (s) WHERE doc % 20 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        | coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "corpus_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank FROM r
+        |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |agg AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_distinct
+        |        FROM sh GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(a.n_grams, 0) AS n_grams,
+        | coalesce(a.n_distinct, 0) AS n_distinct,
+        | round(CASE WHEN a.n_grams IS NULL THEN 0.0
+        |   ELSE 1.0 - a.n_distinct * 1.0 / a.n_grams END, 6) AS dup_ratio,
+        | round(CASE WHEN a.n_grams IS NULL THEN 0.0
+        |   ELSE 1.0 - a.n_distinct * 1.0 / a.n_grams END, 6) > 0.2 AS is_repetitive
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "quality_stratified" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |q AS (SELECT d.doc_id, d.source,
+        |  round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |    (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |    least(1.0, round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality
+        | FROM w JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS q_rank,
+        |  count(*) OVER (PARTITION BY source) AS stratum_n
+        | FROM q)
+        |SELECT doc_id, source, quality, q_rank, stratum_n FROM r
+        |WHERE q_rank * 2 <= stratum_n * 1 ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH fps AS (SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains "alpha beta gamma delta epsilon" → contaminated
+      (1L, "intro words alpha beta gamma delta epsilon zeta closing"),
+      // shares only a 4-gram, not a 5-gram → clean
+      (2L, "alpha beta gamma delta UNRELATED tail words here"),
+      // disjoint vocabulary → clean
+      (3L, "one two three four five six seven"),
+      // shorter than 5 words → no shingles, clean
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // doc 1 shares two distinct 5-grams ("alpha..epsilon", "beta..zeta")
+    assert(got.toSeq == Seq((1L, 2L, true), (2L, 0L, false),
+      (3L, 0L, false), (4L, 0L, false)))
+  }
+
+  test("stratified sample takes exactly the quota per stratum, deterministically") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val s1 = Curation.stratifiedSample(df, "id", "src", quota = 7).collect()
+    val s2 = Curation.stratifiedSample(df, "id", "src", quota = 7).collect()
+    assert(s1.toSeq == s2.toSeq) // reproducible
+    val perStratum = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perStratum == Map("src0" -> 7, "src1" -> 7, "src2" -> 7, "src3" -> 7))
+    // ranks within each stratum are 1..quota with no gaps
+    s1.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 7L))
+    }
+  }
+
+  test("repetition score separates looped text from distinct text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),       // 4 trigrams, 1 distinct
+      (2L, "all words here are fully distinct ok"), // no repeats
+      (3L, "ab cd")).toDF("doc_id", "text")         // < n words
+    val got = Curation.repetitionScore(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.75, true)))
+    assert(got(2L) == ((5L, 5L, 0.0, false)))
+    assert(got(3L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("quality stratified keeps the integer-exact top half of each stratum") {
+    // stratum a: 5 rows (keep 2 since 3*2 > 5), stratum b: 4 rows (keep 2)
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6), (5L, "a", 0.5),
+      (6L, "b", 0.4), (7L, "b", 0.9), (8L, "b", 0.9), (9L, "b", 0.1))
+      .toDF("id", "src", "q")
+    val got = Curation.qualityStratified(df, "id", "src", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // ties on q=0.9 in b broken by id: 7 then 8
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (7L, 1L), (8L, 2L)))
+  }
+}
