@@ -371,7 +371,76 @@ object RelationalQueries {
           .as("zkey"))
       .orderBy(col("zkey"), col("c_custkey"))
 
+  /**
+   * Weekly cohort retention: users bucketed by the ISO week of their
+   * first active day, counted as retained at integer week offsets of
+   * any later activity. Two keyed aggregations (distinct activity,
+   * per-user cohort) + one user-keyed join — the cohort side is one
+   * row per user, broadcastable at any realistic user count; the
+   * offset arithmetic is integer (`div 7`), never float dates.
+   */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(
+        to_date(date_trunc("week", col("cohort_day"))).as("cohort_week"),
+        expr("datediff(d, cohort_day) div 7").cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /**
+   * One-pass data-quality audit over a fact⋈dimension pair: row count,
+   * FK orphans, null/non-positive measures, duplicate keys, and
+   * out-of-domain dates, all as count-CASE aggregates on a single left
+   * join (dimension broadcast; count not sum — see profile_table note).
+   * The fixed date bound keeps the check deterministic across runs.
+   */
+  def dqCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("c_custkey").isNull, lit(1))).as("n_orphans"),
+        count(when(col("o_totalprice").isNull, lit(1))).as("n_null_price"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("n_nonpos_price"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_keys"),
+        count(when(col("o_orderdate") > lit("1998-12-31"), lit(1)))
+          .as("n_future_dates"))
+  }
+
+  /**
+   * Snapshot + delta upsert merge: latest state per key from a base
+   * snapshot full-outer-merged with a delta batch, delta winning where
+   * both exist — the MERGE INTO shape of incremental pipelines. Both
+   * sides are one keyed aggregation; the merge is a key-equi full
+   * outer join (at scale both sides arrive hash-partitioned on the
+   * key from their aggregations, so the join adds no extra shuffle).
+   */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    def latest(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"))).as("m"))
+      .select(col("user_id"), col("m.us").as("ts_us"), col("m.eid").as("eid"))
+    val base = latest(e.filter(col("ts") < cutoff)).as("b")
+    val delta = latest(e.filter(col("ts") >= cutoff)).as("d")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d.ts_us"), col("b.ts_us")).as("last_ts_us"),
+        coalesce(col("d.eid"), col("b.eid")).as("last_event_id"),
+        when(col("d.ts_us").isNotNull, "delta").otherwise("base").as("src"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> retention _,
+    "dq_check" -> dqCheck _,
+    "q_upsert_merge" -> upsertMerge _,
     "latest_by_key" -> latestByKey _,
     "q_cube" -> cubeStatusYear _,
     "profile_table" -> profileTable _,
@@ -398,6 +467,36 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY 1)
+        |SELECT date_trunc('week', cohort_day) AS cohort_week,
+        | date_diff('day', cohort_day, d) // 7 AS week_offset,
+        | count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dq_check" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans,
+        | count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS n_null_price,
+        | count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpos_price,
+        | count(*) - count(DISTINCT o_orderkey) AS n_dup_keys,
+        | count(CASE WHEN o_orderdate > DATE '1998-12-31' THEN 1 END) AS n_future_dates
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |d AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+        |SELECT user_id,
+        | coalesce(d.ts_us, b.ts_us) AS last_ts_us,
+        | coalesce(d.event_id, b.event_id) AS last_event_id,
+        | CASE WHEN d.ts_us IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+        |FROM b FULL OUTER JOIN d USING (user_id) ORDER BY user_id""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
