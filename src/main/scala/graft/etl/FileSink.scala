@@ -35,6 +35,19 @@ object FileSink {
     spark.read.orc(path)
 
   /**
+   * Schema-evolution read: merge the footers of every parquet file
+   * under `path` into one unified schema — files written before a
+   * column existed yield nulls for it. This is how a long-lived table
+   * absorbs additive schema changes without rewriting history. Merge
+   * is opt-in because footer merging lists and reads every footer
+   * (expensive at 10^6 files — production tables keep the committed
+   * schema in a catalog instead); the semantics are what matters here.
+   */
+  def readMergedParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /**
    * Schema'd CSV read-back — the other half of the reference's CSV
    * mode. The explicit schema (from the writing DataFrame or a
    * declared one) is mandatory: schema inference scans the data twice

@@ -40,4 +40,29 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /**
+   * Small-file compaction — the maintenance job every incremental
+   * pipeline needs: streaming/micro-batch appends produce files sized
+   * by arrival rate, and a 100 TB table fragmented into 10^7 tiny
+   * files pays per-file open/footer/list costs that dwarf the scan
+   * itself. Rewrites `src` into `dest` with file count chosen from the
+   * source's total on-disk bytes (compressed) over `targetFileBytes`.
+   * Uses `repartition` (round-robin) for even output sizes; the write
+   * is to a NEW directory — swapping it in atomically is the table
+   * format's / orchestrator's job, not a file-system rename race here.
+   *
+   * @return (input file count, output partition count)
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val df = spark.read.parquet(src)
+    val nIn = df.inputFiles.length
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(nOut).write.mode("overwrite").parquet(dest)
+    (nIn, nOut)
+  }
 }

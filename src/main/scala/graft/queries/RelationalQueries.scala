@@ -437,7 +437,32 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Incremental aggregate maintenance: the materialized-rollup update
+   * shape — partial aggregates computed per increment (here: a base
+   * epoch and a delta epoch), then MERGED by re-aggregating the
+   * partials, never recomputing history. Correct because every
+   * aggregate is decomposable (count/sum over exact cents longs); the
+   * oracle is the one-pass aggregate over all data, proving
+   * merge(partial(base), partial(delta)) ≡ full recompute. At 100 TB
+   * this is the difference between touching one day and five years.
+   */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).withColumn("cents",
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+    val base = partial(o.filter(year(col("o_orderdate")) < 1997))
+    val delta = partial(o.filter(year(col("o_orderdate")) >= 1997))
+    base.unionByName(delta)
+      .groupBy(col("status"))
+      .agg(sum(col("n")).as("n"), sum(col("cents_total")).as("cents_total"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> incrAgg _,
     "q_retention" -> retention _,
     "dq_check" -> dqCheck _,
     "q_upsert_merge" -> upsertMerge _,
@@ -467,6 +492,11 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_incr_agg" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |c AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY 1)

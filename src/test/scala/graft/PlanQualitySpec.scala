@@ -80,4 +80,38 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // At 100 TB the win is scan-side: a bloom filter built from the
+    // selective dimension side prunes fact rows BEFORE the shuffle.
+    // The size thresholds that gate injection are cluster-tuned; here
+    // they're forced so the tiny test tables qualify, proving the
+    // engine's joins are injection-eligible (shape, not size).
+    val c = spark.conf
+    val savedApp = c.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val savedBc = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ords = spark.read.parquet(s"$dir/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+      val j = li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+    } finally {
+      savedApp match {
+        case Some(v) => c.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => c.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+      savedBc match {
+        case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
