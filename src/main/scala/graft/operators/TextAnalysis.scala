@@ -165,6 +165,29 @@ object TextAnalysis {
   }
 
   /**
+   * Overlapping word-window chunking — the retrieval/training prep
+   * step that splits long documents into fixed-size chunks with
+   * `chunkSize - stride` words of overlap. Pure row-local expressions
+   * (sequence → explode → slice → array_join, all codegen'd): no
+   * shuffle, embarrassingly parallel, output rows carry the word
+   * offset so chunks map back into the source. A document shorter
+   * than one chunk yields exactly one (possibly short) chunk.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"),
+        explode(sequence(lit(0L),
+          expr(s"(size(ws) - 1) div $stride"))).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("chunk_words",
+        slice(col("ws"), (col("chunk_start") + 1).cast("int"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        size(col("chunk_words")).cast("long").as("n_chunk_words"),
+        array_join(col("chunk_words"), " ").as("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+
+  /**
    * Content fingerprint: normalize (lowercase, strip non-alnum,
    * collapse whitespace) then hash; join back the fingerprint group
    * size — documents sharing a fingerprint are normalization-equal.

@@ -140,6 +140,9 @@ object TrainingDataQueries {
       TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")),
     "pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")),
+    "doc_chunk" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 50, stride = 40)),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // held-out eval slice: every 20th doc id (deterministic, ~5%)
@@ -350,6 +353,14 @@ object TrainingDataQueries {
         |         ORDER BY score_ppm DESC, term) AS rk FROM scored)
         |SELECT doc_id, term, tf, df, score_ppm, rk
         |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "doc_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents)
+        |SELECT doc_id, i AS chunk_idx, i * 40 AS chunk_start,
+        | len(list_slice(ws, i * 40 + 1, i * 40 + 50)) AS n_chunk_words,
+        | array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text
+        |FROM w, unnest(range(0, (len(ws) - 1) // 40 + 1)) t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),

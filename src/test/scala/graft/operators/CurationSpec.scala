@@ -61,6 +61,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0.0, false)))
   }
 
+  test("chunking covers every word with the declared overlap") {
+    val ninety = (1 to 90).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, ninety), (2L, "short doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkSize = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // starts 0/40/80; last chunk truncated; short doc → one short chunk
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 50L), (1L, 1L, 40L, 50L), (1L, 2L, 80L, 10L),
+      (2L, 0L, 0L, 2L)))
+    val texts = TextAnalysis.chunkDocuments(df, "doc_id", "text", 50, 40)
+      .filter(col("doc_id") === 1L && col("chunk_idx") === 2L)
+      .select(col("chunk_text")).collect()(0).getString(0)
+    assert(texts == (81 to 90).map(i => s"w$i").mkString(" "))
+  }
+
   test("quality stratified keeps the integer-exact top half of each stratum") {
     // stratum a: 5 rows (keep 2 since 3*2 > 5), stratum b: 4 rows (keep 2)
     val df = Seq(
