@@ -106,6 +106,49 @@ object Curation {
   }
 
   /**
+   * Sequence packing — the concat-and-cut batch assembly LM training
+   * pipelines run last: documents are laid end-to-end in id order into
+   * one global token stream, which is cut every `capacity` tokens;
+   * each document reports its exact stream offset and the bins its
+   * tokens land in (straddling docs span two).
+   *
+   * The global exclusive prefix sum is computed WITHOUT a
+   * single-partition sort (the same pattern as q_ntile_spread):
+   * range-partition by id, per-partition token totals — one row per
+   * partition, constant-sized — cumulated and broadcast back as
+   * offsets, then a partition-local running sum on top. Every
+   * data-sized stage runs at full parallelism; the checkpoint pins
+   * partition ids so the offsets branch and the running-sum branch
+   * observe the same range partitioning.
+   */
+  def sequencePack(df: DataFrame, idCol: String, tokCol: String,
+      capacity: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("pid")).agg(sum(col("n_tokens")).as("toks"))
+      .withColumn("off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "pid")
+      .withColumn("token_start",
+        col("off") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      // an empty doc occupies no tokens: its "last token" is its start
+      .withColumn("tok_end",
+        col("token_start") + greatest(col("n_tokens"), lit(1L)) - 1)
+      .select(col(idCol), col("n_tokens"), col("token_start"),
+        expr(s"token_start div ${capacity}L").as("start_bin"),
+        expr(s"tok_end div ${capacity}L").as("end_bin"))
+      .withColumn("straddles", col("start_bin") =!= col("end_bin"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Per-stratum quality selection — keep the best half (or any
    * `keepNumer/keepDenom` fraction) of each stratum by a quality
    * column, integer-exact: a row stays iff rank·denom ≤ count·numer,

@@ -140,6 +140,11 @@ object TrainingDataQueries {
       TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")),
     "pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")),
+    "seq_pack" -> ((s, d) =>
+      Curation.sequencePack(
+        TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("bpe_tokens")),
+        "doc_id", "bpe_tokens", capacity = 512L)),
     "doc_chunk" -> ((s, d) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
         chunkSize = 50, stride = 40)),
@@ -353,6 +358,19 @@ object TrainingDataQueries {
         |         ORDER BY score_ppm DESC, term) AS rk FROM scored)
         |SELECT doc_id, term, tf, df, score_ppm, rk
         |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, token_start,
+        | token_start // 512 AS start_bin,
+        | (token_start + greatest(n_tokens, 1) - 1) // 512 AS end_bin,
+        | token_start // 512 <> (token_start + greatest(n_tokens, 1) - 1) // 512 AS straddles
+        |FROM c ORDER BY doc_id""".stripMargin,
     "doc_chunk" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents)

@@ -61,6 +61,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0.0, false)))
   }
 
+  test("sequence packing assigns exact global stream offsets and bins") {
+    val df = Seq((0L, 100L), (1L, 500L), (2L, 20L), (3L, 512L), (4L, 1L))
+      .toDF("id", "toks")
+    val got = Curation.sequencePack(df, "id", "toks", capacity = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // exclusive prefix sums: 0, 100, 600, 620, 1132
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L, false),
+      (1L, 100L, 0L, 1L, true),    // 100..599 crosses the 512 cut
+      (2L, 600L, 1L, 1L, false),
+      (3L, 620L, 1L, 2L, true),    // 620..1131 crosses 1024
+      (4L, 1132L, 2L, 2L, false)))
+  }
+
   test("chunking covers every word with the declared overlap") {
     val ninety = (1 to 90).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, ninety), (2L, "short doc")).toDF("doc_id", "text")
