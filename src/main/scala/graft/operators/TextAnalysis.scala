@@ -128,6 +128,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /**
+   * Nucleus (top-p) term truncation per document, integer-exact: keep
+   * a document's terms in descending frequency order while the mass
+   * BEFORE each term is less than half the document's total — i.e.
+   * 2·cum_before < total, no float share computation to disagree at
+   * the cut. The vocabulary-compaction shape (and the same cumsum
+   * window as any per-group nucleus cut); all windows are keyed on the
+   * document, so work distributes by doc at any corpus size.
+   */
+  def topPTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wCum = wDoc.orderBy(col("tf").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tf.withColumn("total_tf", sum(col("tf")).over(wDoc))
+      .withColumn("cum_before", coalesce(sum(col("tf")).over(wCum), lit(0L)))
+      .filter(col("cum_before") * 2 < col("total_tf"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("cum_before"), col("total_tf"))
+      .orderBy(col("doc_id"), col("cum_before"), col("term"))
+  }
+
   // PII patterns shared by the Spark and oracle sides — restricted to
   // syntax Java regex and RE2 (DuckDB) interpret identically
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -461,7 +461,25 @@ object RelationalQueries {
       .orderBy(col("status"))
   }
 
+  /**
+   * Key-skew diagnostics — the check run before choosing a join/agg
+   * strategy: per-key row counts reduced to distribution stats
+   * (max/min/mean ratio). Two aggregations, both partial-agg friendly;
+   * the second input is one row per key. A skew_ratio ≫ 1 is the
+   * signal to salt (operators/Salt.scala) or lean on AQE skew splits.
+   */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .withColumn("skew_ratio",
+        round(col("max_cnt") / (col("n_rows") * lit(1.0) / col("n_keys")), 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile" -> skewProfile _,
     "q_incr_agg" -> incrAgg _,
     "q_retention" -> retention _,
     "dq_check" -> dqCheck _,
@@ -492,6 +510,13 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        | max(cnt) AS max_cnt, min(cnt) AS min_cnt,
+        | round(max(cnt) / (CAST(sum(cnt) AS BIGINT) * 1.0 / count(*)), 4) AS skew_ratio
+        |FROM c""".stripMargin,
     "q_incr_agg" ->
       """SELECT o_orderstatus AS status,
         | CAST(count(*) AS BIGINT) AS n,

@@ -140,6 +140,8 @@ object TrainingDataQueries {
       TextAnalysis.corpusSplit(Tables.documents(s, d), "doc_id")),
     "pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d), "doc_id", "text")),
+    "top_p_terms" -> ((s, d) =>
+      TextAnalysis.topPTerms(Tables.documents(s, d), "doc_id", "text")),
     "seq_pack" -> ((s, d) =>
       Curation.sequencePack(
         TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
@@ -358,6 +360,19 @@ object TrainingDataQueries {
         |         ORDER BY score_ppm DESC, term) AS rk FROM scored)
         |SELECT doc_id, term, tf, df, score_ppm, rk
         |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "top_p_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |c AS (SELECT doc_id, term, tf,
+        |  CAST(coalesce(sum(tf) OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+        |  CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS total_tf
+        | FROM tf)
+        |SELECT doc_id, term, tf, cum_before, total_tf FROM c
+        |WHERE cum_before * 2 < total_tf
+        |ORDER BY doc_id, cum_before, term""".stripMargin,
     "seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
