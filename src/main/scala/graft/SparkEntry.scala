@@ -25,5 +25,6 @@ object SparkEntry {
       EtlQueries.oracleSql ++
       TrainingDataQueries.oracleSql ++
       TemporalQueries.oracleSql ++
-      graft.streaming.EventStreams.oracleSql
+      graft.streaming.EventStreams.oracleSql ++
+      graft.operators.Multimodal.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -26,6 +26,16 @@ object Multimodal {
       checksum: Long, mean_byte: Double, feature: Array[Double])
 
   /**
+   * First 32 md5 bits of `c` + "#salt" as a non-negative long — the
+   * deterministic pseudo-metadata source. md5, not xxhash64, so the
+   * DuckDB oracle derives bit-identical values (`'0x'||substr(md5(…))`
+   * cast); at scale both are one codegen'd hash per row.
+   */
+  private def md5Int(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(s"#$salt"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /**
    * Build a typed asset manifest from any table with an id and a
    * payload-bearing string column (the testdata stand-in for real
    * media bytes). Metadata (dimensions) is derived deterministically;
@@ -36,13 +46,13 @@ object Multimodal {
       nPartitions: Int = 32): DataFrame =
     df.select(
       col(idCol).cast("long").as("asset_id"),
-      when(pmod(xxhash64(col(idCol)), lit(3)) === 0, "image")
-        .when(pmod(xxhash64(col(idCol)), lit(3)) === 1, "audio")
+      when(pmod(md5Int(col(idCol), 0), lit(3)) === 0, "image")
+        .when(pmod(md5Int(col(idCol), 0), lit(3)) === 1, "audio")
         .otherwise("video").as("media_type"),
       col(payloadCol).cast("binary").as("payload"),
       length(col(payloadCol)).cast("long").as("n_bytes"),
-      (pmod(xxhash64(col(idCol), lit(1)), lit(1280)) + 32).cast("int").as("width"),
-      (pmod(xxhash64(col(idCol), lit(2)), lit(720)) + 32).cast("int").as("height"),
+      (pmod(md5Int(col(idCol), 1), lit(1280)) + 32).cast("int").as("width"),
+      (pmod(md5Int(col(idCol), 2), lit(720)) + 32).cast("int").as("height"),
       pmod(col(idCol), lit(nPartitions)).cast("int").as("part"))
 
   /** Deterministic stand-in for a real media decoder (???-site). */
@@ -94,7 +104,9 @@ object Multimodal {
       .select(col("asset_id"), col("n_bytes"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
       .withColumn("byte_offset", col("frame_idx").cast("long") * bytesPerFrame)
-      .withColumn("frame_hash", xxhash64(col("asset_id"), col("frame_idx")))
+      .withColumn("frame_hash",
+        md5Int(concat(col("asset_id").cast("string"), lit("#f"),
+          col("frame_idx").cast("string")), 0))
       .orderBy(col("asset_id"), col("frame_idx"))
 
   /**
@@ -115,7 +127,8 @@ object Multimodal {
         expr("(width * scale_num) div (width * height)").cast("int").as("out_w"),
         expr("(height * scale_num) div (width * height)").cast("int").as("out_h"),
         col("scale_num"),
-        xxhash64(col("payload"), lit(targetW), lit(targetH)).as("resized_checksum"))
+        md5(concat(col("payload").cast("string"),
+          lit(s"#${targetW}x$targetH")).cast("binary")).as("resized_checksum"))
       .withColumn("pad_x", lit(targetW) - col("out_w"))
       .withColumn("pad_y", lit(targetH) - col("out_h"))
       .orderBy(col("asset_id"))
@@ -138,4 +151,53 @@ object Multimodal {
           round(element_at(col("feature"), 8), 4).as("f7"))
         .orderBy(col("asset_id"))
     }))
+
+  // DuckDB mirror of the md5-derived pseudo-metadata. mm_features
+  // stays rows-only: its FNV fold over payload bytes is the declared
+  // decoder stub, not SQL-expressible (and not meant to be).
+  private val Md5IntSql = (s: String) =>
+    s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_manifest" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#1'")} % 1280 + 32 AS w,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#2'")} % 720 + 32 AS h,
+         |  length(text) AS n_bytes, doc_id % 32 AS part
+         | FROM documents)
+         |SELECT doc_id AS asset_id,
+         | CASE WHEN t = 0 THEN 'image' WHEN t = 1 THEN 'audio'
+         |      ELSE 'video' END AS media_type,
+         | n_bytes, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         | CAST(part AS INTEGER) AS part
+         |FROM m ORDER BY asset_id""".stripMargin,
+    "mm_frames" ->
+      s"""WITH m AS (SELECT doc_id AS asset_id, length(text) AS n_bytes,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t
+         | FROM documents),
+         |v AS (SELECT asset_id, n_bytes,
+         |  CAST(greatest(CAST(ceil(n_bytes / 256.0) AS INTEGER), 1) AS INTEGER) AS n_frames
+         | FROM m WHERE t >= 2)
+         |SELECT asset_id, n_bytes, n_frames, CAST(i AS INTEGER) AS frame_idx,
+         | i * 256 AS byte_offset,
+         | ${Md5IntSql("asset_id::VARCHAR || '#f' || i::VARCHAR || '#0'")} AS frame_hash
+         |FROM v, unnest(range(0, n_frames, 2)) s(i)
+         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""WITH m AS (SELECT doc_id AS asset_id, text,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,
+         |  CAST(${Md5IntSql("doc_id::VARCHAR || '#1'")} % 1280 + 32 AS INTEGER) AS width,
+         |  CAST(${Md5IntSql("doc_id::VARCHAR || '#2'")} % 720 + 32 AS INTEGER) AS height
+         | FROM documents),
+         |i AS (SELECT *, CAST(least(224 * height, 224 * width) AS INTEGER) AS scale_num
+         |      FROM m WHERE t = 0)
+         |SELECT asset_id, width, height,
+         | CAST((width * scale_num) // (width * height) AS INTEGER) AS out_w,
+         | CAST((height * scale_num) // (width * height) AS INTEGER) AS out_h,
+         | scale_num,
+         | md5(text || '#224x224') AS resized_checksum,
+         | 224 - CAST((width * scale_num) // (width * height) AS INTEGER) AS pad_x,
+         | 224 - CAST((height * scale_num) // (width * height) AS INTEGER) AS pad_y
+         |FROM i ORDER BY asset_id""".stripMargin)
 }
