@@ -1,9 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
 object Bench {
+
+  /**
+   * Fingerprint of the EXECUTED physical plan (post-AQE final plan):
+   * the operator tree with per-run noise stripped — expression ids
+   * (#123), plan/subquery ids, file paths/sizes, statistics. Two runs
+   * of the same query must fingerprint identically unless AQE actually
+   * picked a different plan — which is exactly the event the bench
+   * needs to see, because a silent broadcast→sort-merge flip reads as
+   * a timing regression otherwise.
+   */
+  def planFingerprint(df: DataFrame): String = {
+    val executed = df.queryExecution.executedPlan
+    val finalPlan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val normalized = finalPlan.toString
+      .replaceAll("#\\d+[L]?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("exprId=\\d+", "exprId=x")
+      .replaceAll("subquery\\d+", "subqueryx")
+      .replaceAll("cw-\\d+", "cw-x")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      .replaceAll("size=[\\d.]+ [KMGT]?i?B", "size=x")
+      .replaceAll("file:[^,\\]\\s]+", "file:x")
+      .replaceAll("Location: [^\\n]+", "Location: x")
+      .replaceAll("rowCount=\\d+", "rowCount=x")
+      .replaceAll("LocalTableScan \\[[^\\]]*\\]", "LocalTableScan [x]")
+      .replaceAll("\\d{8,}", "N")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalized.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,42 +55,66 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
-    // two timed runs, report the min — absorbs GC/compilation noise.
-    // A failed run must NOT report a plausible wall time: the error is
-    // carried per query (value -1) so the bench signal can't lie.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    // min-of-N timed runs in ONE JVM — absorbs GC/compilation noise
+    // (the r2↔r3 drivers saw 3.3× swings on identical binaries with
+    // min-of-2). A failed run must NOT report a plausible wall time:
+    // the error is carried per query (value -1) so the signal can't lie.
+    def timeOnce(fn: (SparkSession, String) => DataFrame)
+        : (Double, Option[String], Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      val (err, fp) = try {
+        // count through a Dataset we keep a handle on: collect()
+        // executes ITS queryExecution, so the AQE plan finalizes in
+        // place and the fingerprint below reads the plan that actually
+        // ran (df.count() would execute a throwaway QueryExecution,
+        // leaving df's own plan un-finalized)
+        val counted = fn(spark, sfDir).groupBy().count()
+        counted.collect()
+        (None, Some(planFingerprint(counted)))
+      } catch {
         case t: Throwable =>
-          Some((t.getClass.getSimpleName + ": " +
+          (Some((t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("")).take(160)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " "))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ")), None)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop blocks leaked by this run's localCheckpoint/persist calls
-      // (iterative operators checkpoint per round): 66 queries × 2 runs
+      // (iterative operators checkpoint per round): 83 queries × 3 runs
       // would otherwise pile hundreds of cached partitions into the
       // block manager, squeezing execution memory for later queries —
       // timings would depend on run order and driver heap, not the plan
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (dt, err)
+      (dt, err, fp)
     }
     val results = selected.map { case (name, fn) =>
-      val (t1, e1) = timeOnce(fn)
-      val (t2, e2) = timeOnce(fn)
-      name -> (math.min(t1, t2), e1.orElse(e2))
+      val attempts = (1 to math.max(runs, 1)).map(_ => timeOnce(fn))
+      val best = attempts.map(_._1).min
+      val spreadPct =
+        if (best > 0) (attempts.map(_._1).max - best) / best * 100 else 0.0
+      val err = attempts.flatMap(_._2).headOption
+      val fps = attempts.flatMap(_._3).distinct
+      // >1 distinct fingerprint across same-JVM runs = AQE plan flip;
+      // surfaced as "fp1|fp2" so a timing swing can be attributed
+      name -> (best, err, fps.mkString("|"), spreadPct)
     }
-    val qs = results.map { case (k, (t, err)) =>
+    val qs = results.map { case (k, (t, err, _, _)) =>
       s"\"" + k + "\":" + (if (err.isDefined) "-1" else t)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) =>
+    val plans = results.map { case (k, (_, _, fp, _)) =>
+      s"\"" + k + "\":\"" + fp + "\""
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, _, _, sp)) =>
+      s"\"" + k + "\":" + math.rint(sp * 10) / 10
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e), _, _)) =>
       s"\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, (t, None)) => t }
+    val ok = results.collect { case (_, (t, None, _, _)) => t }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.count(_._2._2.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    val nFlips = results.count(_._2._3.contains("|"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"spread_pct":$spreads,"plan_flips":$nFlips,"errors":$errs,"n_errors":$nErr,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -125,13 +125,23 @@ object Dedup {
   }
 
   /**
-   * MinHash + banded LSH candidate pairs. Signatures come from ONE
-   * explode of the shingle set followed by k min-aggregates (map-side
-   * partial min, one shuffle keyed on doc) — shingle construction runs
-   * once per document, never once per hash function (inlining the
-   * shingle expression into all k lambdas blows the plan up ~k×).
-   * bands×rowsPerBand = signature length; P(candidate) ≈
-   * 1-(1-j^rows)^bands — 16×4 targets j ≳ 0.6.
+   * MinHash + banded LSH candidate pairs, each carrying `est_jaccard` —
+   * the MinHash Jaccard ESTIMATE (fraction of agreeing signature
+   * components; E[est] = J, σ = √(J(1−J)/k) ≈ 0.05 at k=64, J=0.8, so
+   * the signature is a measuring instrument, not just a candidate
+   * generator — a pipeline can threshold on it without re-shingling).
+   *
+   * Signatures come from ONE explode of the shingle set followed by k
+   * min-aggregates (map-side partial min, one shuffle keyed on doc) —
+   * shingle construction runs once per document, never once per hash
+   * function (inlining the shingle expression into all k lambdas blows
+   * the plan up ~k×). bands×rowsPerBand = signature length;
+   * P(candidate) ≈ 1-(1-j^rows)^bands — 16×4 targets j ≳ 0.6.
+   *
+   * Scale shape: the band self-join shuffles NARROW (doc, band, bucket)
+   * longs; full k-long signatures are fetched by equi-join once per
+   * unique surviving pair (same fetch-by-join pattern as the embedding
+   * LSH paths), so the quadratic stage never carries signature payloads.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
@@ -140,15 +150,24 @@ object Dedup {
     val sigs = sh.groupBy(col("doc"))
       .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
+      .localCheckpoint() // banding + both fetch sides read it; compute once
     val banded = sigs.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .distinct()
+    val agree = (0 until k).map(i =>
+      when(col(s"sa.sig_$i") === col(s"sb.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(sigs.as("sa"), col("id1") === col("sa.doc"))
+      .join(sigs.as("sb"), col("id2") === col("sb.doc"))
+      .select(col("id1"), col("id2"),
+        round(agree.cast("double") / k, 6).as("est_jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -320,7 +339,9 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotd
-    val d = df.select(col(idCol).as("id"),
+    val guarded = ScaleGuard.allPairs(df, "dedup_embedding (exact pair stage)",
+      "dedup_embedding_lsh")
+    val d = guarded.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
     val withNorm = d.withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))

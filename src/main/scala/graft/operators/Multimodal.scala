@@ -23,7 +23,7 @@ object Multimodal {
   case class Asset(asset_id: Long, media_type: String, payload: Array[Byte],
       n_bytes: Long, width: Int, height: Int, part: Int)
   case class AssetFeatures(asset_id: Long, media_type: String, n_bytes: Long,
-      checksum: Long, mean_byte: Double, feature: Array[Double])
+      checksum: Long, mean_byte_e4: Long, hist_e4: Array[Long])
 
   /**
    * First 32 md5 bits of `c` + "#salt" as a non-negative long — the
@@ -55,35 +55,43 @@ object Multimodal {
       (pmod(md5Int(col(idCol), 2), lit(720)) + 32).cast("int").as("height"),
       pmod(col(idCol), lit(nPartitions)).cast("int").as("part"))
 
-  /** Deterministic stand-in for a real media decoder (???-site). */
-  private def fakeDecode(payload: Array[Byte]): (Long, Double, Array[Double]) = {
-    var checksum = 1469598103934665603L // FNV-1a
+  /** Deterministic stand-in for a real media decoder (???-site):
+    * an FNV-1a fold + byte-sum + 8-bin byte histogram. Emits integer
+    * counts so the derived features are integer-exact end-to-end (the
+    * DuckDB oracle reproduces the same fold via a HUGEINT list_reduce,
+    * the wrapping 64-bit multiply emulated mod 2⁶⁴). */
+  private def fakeDecode(payload: Array[Byte]): (Long, Long, Array[Long]) = {
+    var checksum = 1469598103934665603L // FNV-1a offset (stub variant)
     var sum = 0L
-    val hist = new Array[Double](8)
+    val hist = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
       val b = payload(i) & 0xff
       checksum = (checksum ^ b) * 1099511628211L
       sum += b
-      hist(b % 8) += 1.0
+      hist(b % 8) += 1L
       i += 1
     }
-    val n = math.max(payload.length, 1)
-    (checksum, sum.toDouble / n, hist.map(_ / n))
+    (checksum, sum, hist)
   }
 
   /**
    * Batched per-partition feature extraction over a manifest.
    * `mapPartitions` keeps the decoder call amortized across a
    * partition's rows — the distributed shape of a vectorized UDF.
+   * Derived features are ×10⁴ integer fixed-point (truncating
+   * division), never floats: the decode is imperative host code, so
+   * every emitted value must be reproducible bit-for-bit by an
+   * independent implementation of the same spec.
    */
   def extractFeatures(spark: SparkSession, manifestDf: DataFrame): Dataset[AssetFeatures] = {
     import spark.implicits._
     manifestDf.as[Asset].mapPartitions { rows =>
       rows.map { a =>
-        val (checksum, meanByte, feature) = fakeDecode(a.payload)
+        val (checksum, byteSum, hist) = fakeDecode(a.payload)
+        val n = math.max(a.payload.length, 1)
         AssetFeatures(a.asset_id, a.media_type, a.n_bytes, checksum,
-          math.rint(meanByte * 10000) / 10000, feature.map(x => math.rint(x * 10000) / 10000))
+          byteSum * 10000L / n, hist.map(_ * 10000L / n))
       }
     }
   }
@@ -146,19 +154,47 @@ object Multimodal {
       val feats = extractFeatures(s, manifest(graft.Tables.documents(s, d), "doc_id", "text"))
       feats.toDF()
         .select(col("asset_id"), col("media_type"), col("n_bytes"),
-          col("checksum"), col("mean_byte"),
-          round(element_at(col("feature"), 1), 4).as("f0"),
-          round(element_at(col("feature"), 8), 4).as("f7"))
+          col("checksum"), col("mean_byte_e4"),
+          element_at(col("hist_e4"), 1).as("f0_e4"),
+          element_at(col("hist_e4"), 8).as("f7_e4"))
         .orderBy(col("asset_id"))
     }))
 
-  // DuckDB mirror of the md5-derived pseudo-metadata. mm_features
-  // stays rows-only: its FNV fold over payload bytes is the declared
-  // decoder stub, not SQL-expressible (and not meant to be).
+  // DuckDB mirror of the md5-derived pseudo-metadata.
   private val Md5IntSql = (s: String) =>
     s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
+    // The decoder stub runs as imperative JVM code inside mapPartitions
+    // — so its oracle re-implements the SAME byte-level spec in pure
+    // SQL: the FNV-1a fold as a HUGEINT list_reduce with the wrapping
+    // 64-bit multiply emulated mod 2⁶⁴ (payload text is ASCII in the
+    // testdata, so ord(char) = UTF-8 byte), then mapped back to the
+    // signed BIGINT the JVM's overflowing long arithmetic produces.
+    "mm_features" ->
+      s"""WITH m AS (SELECT doc_id AS asset_id, text,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,
+         |  length(text) AS n_bytes FROM documents),
+         |b AS (SELECT asset_id, t, n_bytes,
+         |  list_transform(range(1, length(text) + 1),
+         |    i -> ord(text[i])::HUGEINT) AS bytes FROM m),
+         |f AS (SELECT asset_id, t, n_bytes,
+         |  list_reduce(list_prepend(1469598103934665603::HUGEINT, bytes),
+         |    (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616::HUGEINT) AS cks,
+         |  list_sum(bytes) AS bsum,
+         |  len(list_filter(bytes, x -> x % 8 = 0)) AS h0,
+         |  len(list_filter(bytes, x -> x % 8 = 7)) AS h7
+         | FROM b)
+         |SELECT asset_id,
+         | CASE WHEN t = 0 THEN 'image' WHEN t = 1 THEN 'audio'
+         |      ELSE 'video' END AS media_type,
+         | n_bytes,
+         | CAST(CASE WHEN cks >= 9223372036854775808::HUGEINT
+         |      THEN cks - 18446744073709551616::HUGEINT ELSE cks END AS BIGINT) AS checksum,
+         | CAST(coalesce(bsum, 0) * 10000 // greatest(n_bytes, 1) AS BIGINT) AS mean_byte_e4,
+         | CAST(h0 * 10000 // greatest(n_bytes, 1) AS BIGINT) AS f0_e4,
+         | CAST(h7 * 10000 // greatest(n_bytes, 1) AS BIGINT) AS f7_e4
+         |FROM f ORDER BY asset_id""".stripMargin,
     "mm_manifest" ->
       s"""WITH m AS (SELECT doc_id,
          |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Fail-fast guard for the exact all-pairs operators. Three registry
+ * queries (`knn_join`, `dedup_embedding`, `dedup_semantic`'s pair
+ * stage) are intentionally quadratic: they are the oracle anchors the
+ * blocked/LSH siblings are measured against. At test SF they are the
+ * correctness evidence; at corpus scale they are the queries a user
+ * must NOT run — n²/2 dot products over 10⁹ rows is not a slow query,
+ * it's a cluster outage.
+ *
+ * So the anchors refuse to start above a row threshold, naming the
+ * blocked sibling that computes the same thing with candidate
+ * generation by equi-join. The threshold is a session conf
+ * (`spark.graft.allPairs.maxRows`, default 100k ≈ 5·10⁹ candidate
+ * pairs — already generous); set it to -1 to disable (e.g. for an
+ * intentional exact sweep on a sized-for-it cluster).
+ *
+ * The guard costs one `count()` of the input — a metadata-cheap
+ * columnar count against a parquet source, and noise next to the
+ * quadratic work it is guarding.
+ */
+object ScaleGuard {
+
+  val ConfKey = "spark.graft.allPairs.maxRows"
+  val DefaultMaxRows = 100000L
+
+  /** Returns `df` unchanged if it is small enough for an all-pairs
+    * stage; throws (naming `scaleSibling`) otherwise. */
+  def allPairs(df: DataFrame, op: String, scaleSibling: String): DataFrame = {
+    val max = df.sparkSession.conf.getOption(ConfKey)
+      .map(_.toLong).getOrElse(DefaultMaxRows)
+    if (max >= 0L) {
+      val n = df.count()
+      if (n > max) throw new IllegalStateException(
+        s"$op is exact all-pairs (O(n²)) and its input has $n rows " +
+          s"(limit $max). It exists as the oracle anchor for " +
+          s"'$scaleSibling' — use that blocked form at this scale, or " +
+          s"raise/disable the limit via spark conf '$ConfKey'.")
+    }
+    df
+  }
+}

@@ -54,7 +54,8 @@ object Similarity {
    * buckets and only the within-bucket pairs take this path.
    */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val d = withNorm(df, Seq(idCol), vecCol)
+    val d = withNorm(ScaleGuard.allPairs(df, "knn_join", "knn_join_blocked"),
+        Seq(idCol), vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"))
     val half = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("src_id"), col("b.id").as("nbr_id"),

@@ -141,10 +141,14 @@ object RelationalQueries {
 
   /**
    * Sketch-based distinct counting (HyperLogLog++) next to the exact
-   * count — the 100 TB path for distinct-heavy metrics. Approximate ⇒
-   * rows-only check (no DuckDB oracle).
+   * count — the 100 TB path for distinct-heavy metrics. The raw form
+   * (both columns) feeds SketchAccuracySpec; the registry form below
+   * folds the sketch into a `within_bound` check so the DuckDB oracle
+   * can verify it: exact columns compared value-for-value, and the
+   * oracle asserts the bound column is all-true (a sketch drifting
+   * past 5% flips the hash).
    */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -153,11 +157,19 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_bound"))
+      .orderBy(col("event_type"))
+
   /** Approximate percentiles (Greenwald-Khanna sketch) next to exact —
     * the mergeable scale path for quantiles, with its error visible
-    * against the exact answer. Sketch internals are engine-specific →
-    * rows-only check, like q_approx_distinct. */
-  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    * against the exact answer. Same self-checking split as
+    * q_approx_distinct: raw form for the accuracy spec, oracle-checked
+    * bound column in the registry. */
+  def approxPercentileRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -170,6 +182,15 @@ object RelationalQueries {
         round(element_at(col("exact"), 1), 4).as("exact_p50"),
         round(element_at(col("exact"), 2), 4).as("exact_p99"),
         col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    approxPercentileRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p99"),
+        col("n_rows"),
+        (abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.05 &&
+          abs(col("approx_p99") - col("exact_p99")) <= col("exact_p99") * 0.05)
+          .as("within_bound"))
       .orderBy(col("l_returnflag"))
 
   /** Exact decile bucketing + per-decile stats, WITHOUT the
@@ -510,6 +531,19 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    // the sketch queries are self-checking: exact columns compare
+    // value-for-value and the oracle asserts the sketch's error-bound
+    // flag is all-true (an out-of-bound sketch flips the value hash)
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n_events, TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+        | count(*) AS n_rows, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
         |           FROM lineitem GROUP BY 1)

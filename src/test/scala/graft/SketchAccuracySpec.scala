@@ -22,7 +22,7 @@ class SketchAccuracySpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("approx_count_distinct stays within 5% of the exact count per group") {
-    val rows = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    val rows = queries.RelationalQueries.approxDistinctRaw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -35,7 +35,7 @@ class SketchAccuracySpec extends AnyFunSuite {
   }
 
   test("approx_percentile stays within 5% of the exact quantiles per group") {
-    val rows = SparkEntry.queries("q_approx_percentile")(spark, dir).collect()
+    val rows = queries.RelationalQueries.approxPercentileRaw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       for ((a, e) <- Seq(("approx_p50", "exact_p50"), ("approx_p99", "exact_p99"))) {
@@ -46,6 +46,14 @@ class SketchAccuracySpec extends AnyFunSuite {
         assert(relErr <= 0.05,
           s"${r.getAs[String]("l_returnflag")} $a: approx=$approx exact=$exact err=$relErr")
       }
+    }
+  }
+
+  test("registry forms report within_bound = true on every group") {
+    for (q <- Seq("q_approx_distinct", "q_approx_percentile")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Boolean]("within_bound")), s"$q out of bound")
     }
   }
 }

@@ -177,7 +177,7 @@ class OperatorSpec extends AnyFunSuite {
     val f1 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.asset_id)
     val f2 = Multimodal.extractFeatures(spark, m).collect().sortBy(_.asset_id)
     assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
-    assert(f1.forall(_.feature.length == 8))
+    assert(f1.forall(_.hist_e4.length == 8))
   }
 
   test("ivf ann returns neighbors from probed clusters ranked by cosine") {

@@ -44,6 +44,24 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"minhash recall $recall over ${exact.size} pairs")
   }
 
+  test("minhash est_jaccard measures exact jaccard within sketch error") {
+    // estimator property: E[est] = J, σ = √(J(1−J)/k) ≈ 0.05 at k=64,
+    // J≈0.8 — bound per-pair error at 5σ and the mean at 2σ. Compared
+    // over the SAME shingle universe (no stop-shingle filter), which is
+    // what the signature actually sketches.
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      Int.MaxValue).select(col("id1"), col("id2"), col("jaccard"))
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+    val joined = exact.join(est, Seq("id1", "id2"))
+      .select(col("jaccard"), col("est_jaccard")).collect()
+    assert(joined.nonEmpty, "no overlapping pairs — spec is vacuous")
+    val errs = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max <= 0.25,
+      s"worst est_jaccard error ${errs.max} over ${errs.length} pairs")
+    assert(errs.sum / errs.length <= 0.10,
+      s"mean est_jaccard error ${errs.sum / errs.length}")
+  }
+
   test("simhash banding finds EXACTLY the brute-force hamming≤3 pairs") {
     // pigeonhole (4×16-bit bands, distance ≤ 3 forces one intact band)
     // is a completeness proof, not a probabilistic recall — assert set
