@@ -14,13 +14,13 @@ object Bench {
    * needs to see, because a silent broadcast→sort-merge flip reads as
    * a timing regression otherwise.
    */
-  def planFingerprint(df: DataFrame): String = {
+  def normalizedPlan(df: DataFrame): String = {
     val executed = df.queryExecution.executedPlan
     val finalPlan = executed match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val normalized = finalPlan.toString
+    finalPlan.toString
       .replaceAll("#\\d+[L]?", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("exprId=\\d+", "exprId=x")
@@ -33,8 +33,43 @@ object Bench {
       .replaceAll("rowCount=\\d+", "rowCount=x")
       .replaceAll("LocalTableScan \\[[^\\]]*\\]", "LocalTableScan [x]")
       .replaceAll("\\d{8,}", "N")
+      // lambda variable names (`lambda x_15`) come from a session-global
+      // counter that advances per query CONSTRUCTION — two runs of the
+      // same query get different names. Pure noise, never a plan change.
+      .replaceAll("lambda x_\\d+", "lambda x_N")
+      // JVM identity hashes in parameter toStrings (e.g. the hyperplane
+      // matrix `[D@121bc70a` inside HyperplaneCodeD) vary per object.
+      .replaceAll("@[0-9a-f]{4,}", "@x")
+      // The DataFilters metadata value is truncated to a FIXED CHAR
+      // BUDGET (spark.sql.maxMetadataStringLength, 100): session-global
+      // variable-width tokens inside it (expr ids `#12345`, lambda
+      // names `x_1044`) consume budget, so the same plan truncates at
+      // different content — or not at all — depending on how old the
+      // session is. Unfixable by trimming; mask the whole value (an
+      // empty list still reads distinctly, and predicate-pushdown
+      // shape is pinned by PlanQualitySpec, not the fingerprint).
+      .replaceAll("DataFilters: \\[[^\\]\\n][^\\n]*?, Format:",
+        "DataFilters: [x], Format:")
+      // remaining truncations (field-count ellipses etc.): trim a
+      // margin so a shifted cut point can't leak run-varying bytes
+      .replaceAll(".{64}\\.\\.\\.", "...")
+      // AQE numbers query stages in MATERIALIZATION order — two
+      // independent stages racing to finish swap ids between runs
+      // (observed on tfidf_terms: BroadcastQueryStage 2↔3). Same for
+      // the whole-stage-codegen span ids `*(4)` that follow from stage
+      // order. The tree structure itself is position-encoded, so
+      // masking the labels can't hide a real operator change.
+      .replaceAll("QueryStage \\d+", "QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(n)")
+      // JVM synthetic lambda class names in typed-operator toStrings
+      // (`MapPartitions graft...$$Lambda$2602/0x00007f11...`): the
+      // index and address are per-JVM, the enclosing class is not.
+      .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
+  }
+
+  def planFingerprint(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(normalized.getBytes("UTF-8"))
+    md.digest(normalizedPlan(df).getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
   }
 

@@ -20,6 +20,28 @@ import graft.functions.TextFunctions._
  */
 object Dedup {
 
+  /**
+   * Materialization point for frames read by several downstream
+   * consumers (signature tables, annotated shingle tables). Default is
+   * `localCheckpoint(eager = true)`: compute once, truncate lineage.
+   * Contract a caller must know:
+   *  - the checkpoint RUNS A JOB at DataFrame-construction time;
+   *  - its blocks stay in the block manager until the session clears
+   *    them (`spark.sharedState.cacheManager` / `getPersistentRDDs`
+   *    unpersist — Bench does this per run) — a long-lived pipeline
+   *    invoking these operators in a loop should clear or disable;
+   *  - localCheckpoint trades fault tolerance away (executor loss =
+   *    job failure). On a real cluster at 100 TB, set
+   *    `spark.graft.materialize=none` (recompute per consumer, fully
+   *    fault-tolerant) or checkpoint to reliable storage yourself.
+   */
+  private[operators] def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.materialize")
+      .getOrElse("localCheckpoint") match {
+      case "none" => df
+      case _ => df.localCheckpoint()
+    }
+
   /** Exact dedup: group documents by content hash, keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -69,12 +91,11 @@ object Dedup {
     val wS = Window.partitionBy(col("s"))
     val wDoc = Window.partitionBy(col("doc"))
     val wRank = Window.partitionBy(col("doc")).orderBy(col("df_count"), col("s"))
-    shingleHashes(df, idCol, textCol, n)
+    materialize(shingleHashes(df, idCol, textCol, n)
       .withColumn("df_count", count(lit(1)).over(wS))
       .filter(col("df_count") <= maxShingleFreq)
       .withColumn("sz", count(lit(1)).over(wDoc))
-      .withColumn("rank", row_number().over(wRank))
-      .localCheckpoint()
+      .withColumn("rank", row_number().over(wRank)))
   }
 
   /**
@@ -147,10 +168,11 @@ object Dedup {
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sh = shingleHashes(df, idCol, textCol, n)
-    val sigs = sh.groupBy(col("doc"))
+    // banding + both fetch sides read the signatures; compute once
+    // (see `materialize` for the checkpoint contract)
+    val sigs = materialize(sh.groupBy(col("doc"))
       .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
-      .localCheckpoint() // banding + both fetch sides read it; compute once
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*))
     val banded = sigs.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
@@ -212,6 +234,26 @@ object Dedup {
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /**
+   * Brute-force SimHash pairs — all-pairs hamming over the signatures,
+   * no banding. The EXACT anchor `simhashPairs` is provably equal to
+   * (pigeonhole: hamming ≤ 3 over 4 blocks forces one intact block);
+   * the registry's self-check joins the two and asserts set equality.
+   * ScaleGuard-gated: the signature table is narrow (id + one long),
+   * but the pair space is still O(n²).
+   */
+  def simhashBrutePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(
+      ScaleGuard.allPairs(df, "simhash_brute (exact anchor)", "dedup_simhash"),
+      idCol, textCol)
+    sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))
   }

@@ -174,7 +174,13 @@ object Multimodal {
     "mm_features" ->
       s"""WITH m AS (SELECT doc_id AS asset_id, text,
          |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,
-         |  length(text) AS n_bytes FROM documents),
+         |  length(text) AS n_bytes FROM documents
+         |  -- this oracle equates codepoints (ord/length) with UTF-8
+         |  -- bytes (what the JVM folds); a non-ASCII document breaks
+         |  -- that silently, so fail LOUDLY instead of hash-mismatching.
+         |  -- CASE (not OR) because only CASE guarantees short-circuit.
+         |  WHERE CASE WHEN strlen(text) = length(text) THEN TRUE
+         |    ELSE error('mm_features oracle requires ASCII text; non-ASCII doc_id=' || doc_id) END),
          |b AS (SELECT asset_id, t, n_bytes,
          |  list_transform(range(1, length(text) + 1),
          |    i -> ord(text[i])::HUGEINT) AS bytes FROM m),

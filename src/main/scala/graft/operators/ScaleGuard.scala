@@ -18,9 +18,14 @@ import org.apache.spark.sql.DataFrame
  * pairs — already generous); set it to -1 to disable (e.g. for an
  * intentional exact sweep on a sized-for-it cluster).
  *
- * The guard costs one `count()` of the input — a metadata-cheap
- * columnar count against a parquet source, and noise next to the
- * quadratic work it is guarding.
+ * The guard costs one `count()` of the input, executed EAGERLY at
+ * DataFrame-construction time (so even building the plan runs a job —
+ * ScaleGuardSpec pins it at exactly one). Against a bare parquet
+ * source that count is metadata-cheap (row-group counts, no data
+ * read); against a DERIVED frame it re-executes the upstream plan —
+ * a caller composing an anchor over an expensive pipeline should
+ * `.persist()` the input first (the count then doubles as the
+ * materializing action) or disable the guard for that call.
  */
 object ScaleGuard {
 

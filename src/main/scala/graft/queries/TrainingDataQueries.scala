@@ -10,11 +10,13 @@ import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
  * §C/§D/§E — training-data pipeline operators bound to the testdata
  * `documents` and `embeddings` tables. The operators themselves live in
  * `graft.operators`; these wrappers fix the parameters the oracle
- * checks. Queries without an oracle entry (MinHash/SimHash/ANN-LSH) are
- * hash-family-specific and get the driver's rows-only check; their
- * exact counterparts (ngram-jaccard, embedding-cosine, knn-brute) ARE
- * oracle-checked, which pins the semantics the approximate variants
- * approximate.
+ * checks. The approximate ops (MinHash/SimHash/embedding-LSH/ANN) are
+ * registered in SELF-CHECKING form: each runs next to its exact
+ * sibling and emits the exact count plus recall/error-bound flags the
+ * DuckDB oracle verifies (see `recallChecked`) — every registry entry
+ * is oracle-checked, none is evidence-free. The raw approximate
+ * outputs remain available as the `graft.operators` API and are
+ * exercised by RecallSpec.
  */
 object TrainingDataQueries {
 
@@ -87,6 +89,65 @@ object TrainingDataQueries {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * Recall self-check: LEFT-join the exact result onto the approximate
+   * one and fold into one row the DuckDB oracle can verify — the exact
+   * count (oracle recomputes it) and a recall-floor flag (oracle
+   * asserts TRUE). Same pattern that made the sketches oracle-checkable
+   * (`q_approx_distinct`): the approximate structure itself can't
+   * hash-match any SQL, but "its recall against the exact sibling
+   * clears the spec'd floor" can. One pass over each pipeline — the
+   * join keeps every exact row; a non-null marker means the
+   * approximation found it.
+   */
+  private def recallChecked(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], floor: Double, nAlias: String): DataFrame =
+    exact.select(keys.map(col): _*)
+      .join(approx.select(keys.map(col): _*).withColumn("hit", lit(1)),
+        keys, "left")
+      .agg(count(lit(1)).as(nAlias),
+        (count(col("hit")) >= count(lit(1)) * floor).as("within_bound"))
+
+  /** MinHash check adds the estimator bound: every recalled pair's
+    * `est_jaccard` within 5σ (σ=√(J(1−J)/64)≈0.05 at J≥0.8 → 0.25) of
+    * exact jaccard — the RecallSpec bound, oracle-visible. */
+  def minhashChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4)
+    exact.select(col("id1"), col("id2"), col("jaccard"))
+      .join(mh, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        (count(col("est_jaccard")) >= count(lit(1)) * 0.95).as("within_bound"),
+        coalesce(max(abs(col("est_jaccard") - col("jaccard"))) <= 0.25,
+          lit(true)).as("est_ok"))
+  }
+
+  /** SimHash check is an EQUALITY, not a recall floor: banding is
+    * provably lossless for hamming ≤ 3 (4×16-bit pigeonhole), so the
+    * banded pair set must equal brute-force exactly. Both sides union
+    * into one keyed aggregation — each pipeline runs once. */
+  def simhashChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val brute = Dedup.simhashBrutePairs(docs, "doc_id", "text", maxHamming = 3)
+    val tagged = brute.select(col("id1"), col("id2"),
+        lit(1).as("x"), lit(0).as("b"))
+      .unionByName(banded.select(col("id1"), col("id2"),
+        lit(0).as("x"), lit(1).as("b")))
+    val perPair = tagged.groupBy(col("id1"), col("id2"))
+      .agg(max(col("x")).as("x"), max(col("b")).as("b"))
+    val folded = perPair.agg(sum(col("x")).as("nx"), sum(col("b")).as("nb"),
+      sum(col("x") * col("b")).as("ni"))
+    Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(folded)
+      .select(col("n_docs"),
+        coalesce(col("nx") === col("nb") && col("ni") === col("nx"),
+          lit(true)).as("sets_equal"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
@@ -96,36 +157,45 @@ object TrainingDataQueries {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8, maxShingleFreq = 100)),
-    "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 4)),
-    "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)),
+    "dedup_minhash_lsh" -> minhashChecked _,
+    "dedup_simhash" -> simhashChecked _,
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)),
     "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, dim = 64, bands = 16, planesPerBand = 4)),
+      recallChecked(
+        Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4),
+        Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, bands = 16, planesPerBand = 4),
+        Seq("id1", "id2"), floor = 0.85, nAlias = "n_exact_pairs")),
     "embedding_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
     "knn_join" -> ((s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)),
     "knn_join_blocked" -> ((s, d) =>
-      Similarity.knnJoinBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 3, dim = 64, bands = 16, planesPerBand = 4)),
+      recallChecked(
+        Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3),
+        Similarity.knnJoinBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3, dim = 64, bands = 16, planesPerBand = 4),
+        Seq("src_id", "nbr_id"), floor = 0.85, nAlias = "n_exact")),
     "knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 25, extraCols = Seq("label"))),
     "ann_lsh" -> ((s, d) =>
-      Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, dim = 64, bands = 16, planesPerBand = 4,
-        extraCols = Seq("label"))),
+      recallChecked(
+        Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10),
+        Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, dim = 64, bands = 16, planesPerBand = 4),
+        Seq("vec_id"), floor = 0.8, nAlias = "k")),
     "ivf_ann" -> ((s, d) =>
-      Similarity.ivfAnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, nCentroids = 16, nProbe = 8,
-        extraCols = Seq("label"))),
+      recallChecked(
+        Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10),
+        Similarity.ivfAnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, nCentroids = 16, nProbe = 8),
+        Seq("vec_id"), floor = 0.5, nAlias = "k")),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>
@@ -174,6 +244,40 @@ object TrainingDataQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // self-checked approximate ops: the oracle recomputes the EXACT
+    // side's count in SQL and asserts the bound flags are all-true —
+    // a recall drop below the spec'd floor (or an estimator outside
+    // its error bar, or a banding/brute mismatch) flips the hash.
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8)
+        |SELECT count(*) AS n_exact_pairs, TRUE AS within_bound, TRUE AS est_ok
+        |FROM prs""".stripMargin,
+    "dedup_simhash" ->
+      "SELECT count(*) AS n_docs, TRUE AS sets_equal FROM documents",
+    "dedup_embedding_lsh" ->
+      """SELECT count(*) AS n_exact_pairs, TRUE AS within_bound
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+    "knn_join_blocked" ->
+      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS within_bound
+        |FROM embeddings""".stripMargin,
+    "ann_lsh" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound",
+    "ivf_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (
         | SELECT a.vec_id AS id1, b.vec_id AS id2

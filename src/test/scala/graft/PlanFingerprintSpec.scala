@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Registry-wide executed-plan snapshot: every query's post-AQE plan
+ * fingerprint (`Bench.planFingerprint` — noise-normalized, so only a
+ * REAL operator/strategy change alters it) is pinned against a
+ * checked-in file. A silent broadcast→sort-merge flip, a lost
+ * pushdown, or an accidental nested loop now fails CI here instead of
+ * surfacing as an unexplained timing swing in a later bench round.
+ *
+ * On an intended plan change: review the diff this spec prints, then
+ * regenerate with  GRAFT_UPDATE_PLAN_SNAPSHOT=1 sbt test  and commit
+ * the updated snapshot alongside the code change.
+ */
+class PlanFingerprintSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val snapshotPath = Paths.get("src/test/resources/plan_fingerprints.txt")
+
+  test("executed-plan fingerprints match the reviewed snapshot") {
+    // pin EVERY plan-affecting conf the fingerprints were captured
+    // under — test suites share one JVM session, and whichever spec
+    // built it first leaks its confs (BucketedJoinSpec disables
+    // auto-broadcast, which flips join strategies registry-wide)
+    val pinned = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760b",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    val plans = scala.collection.mutable.Map[String, String]()
+    val current: Seq[(String, String)] =
+      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // execute through a frame we keep: the AQE plan finalizes in
+        // place and the fingerprint reads the plan that actually ran
+        val counted = fn(spark, dir).groupBy().count()
+        counted.collect()
+        val fp = Bench.planFingerprint(counted)
+        plans(name) = Bench.normalizedPlan(counted)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> fp
+      }
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+
+    if (sys.env.contains("GRAFT_UPDATE_PLAN_SNAPSHOT") ||
+        !Files.exists(snapshotPath)) {
+      Files.createDirectories(snapshotPath.getParent)
+      Files.write(snapshotPath,
+        current.map { case (n, f) => s"$n $f" }.asJava)
+      info(s"snapshot written: $snapshotPath (${current.size} queries)")
+    } else {
+      val snap = Files.readAllLines(snapshotPath).asScala
+        .filter(_.nonEmpty).map(_.split(" ", 2)).map(a => a(0) -> a(1)).toMap
+      val changed = current.collect {
+        case (n, f) if snap.get(n).exists(_ != f) => s"$n: ${snap(n)} -> $f"
+      }
+      // diagnostics: the fingerprint alone can't be diffed — dump the
+      // drifted queries' normalized plans for comparison against a
+      // reference run (e.g. FpProbe output)
+      if (changed.nonEmpty) {
+        val dump = Paths.get("target/plan_drift")
+        Files.createDirectories(dump)
+        current.foreach { case (n, f) =>
+          if (snap.get(n).exists(_ != f))
+            Files.writeString(dump.resolve(s"$n.txt"), plans(n))
+        }
+      }
+      val added = current.collect { case (n, _) if !snap.contains(n) => n }
+      val removed = (snap.keySet -- current.map(_._1)).toSeq.sorted
+      assert(changed.isEmpty && added.isEmpty && removed.isEmpty,
+        s"""plan fingerprints drifted from the reviewed snapshot.
+           |changed: ${changed.mkString("; ")}
+           |new queries (snapshot them): ${added.mkString(", ")}
+           |dropped queries: ${removed.mkString(", ")}
+           |If intended: GRAFT_UPDATE_PLAN_SNAPSHOT=1 sbt test, review, commit.""".stripMargin)
+    }
+  }
+}

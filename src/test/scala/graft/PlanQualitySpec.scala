@@ -49,9 +49,31 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("blocked knn-join generates candidates by equi-join, never a nested loop") {
-    val p = plan("knn_join_blocked")
+    // the OPERATOR, not the registry entry: the registry form is the
+    // self-check (blocked + exact anchor side by side), and the anchor
+    // legitimately plans a broadcast nested loop at oracle SF
+    val p = graft.operators.Similarity.knnJoinBlocked(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 3, dim = 64)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scale-path dedup operators plan no nested loop or cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "minhashLshPairs" -> graft.operators.Dedup.minhashLshPairs(
+          docs, "doc_id", "text"),
+        "simhashPairs" -> graft.operators.Dedup.simhashPairs(
+          docs, "doc_id", "text"),
+        "embeddingNearDupLsh" -> graft.operators.Dedup.embeddingNearDupLsh(
+          emb, "vec_id", "embedding", threshold = 0.4, dim = 64))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
   }
 
   test("ntile spread never sorts the data on a single partition") {
@@ -75,7 +97,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // exact all-pairs verify stages are the documented exception: their
     // non-equi self-join is a BroadcastNestedLoopJoin at oracle SF and
     // their scale path is the corresponding *_lsh / banded variant.
-    val allPairsOk = Set("dedup_embedding")
+    // The self-checking registry forms embed those anchors, so they
+    // inherit the exemption; ScaleGuard keeps every one of them from
+    // running at corpus scale.
+    val allPairsOk = Set("dedup_embedding", "dedup_embedding_lsh",
+      "dedup_simhash", "knn_join_blocked")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !allPairsOk(name)) {
       assert(!plan(name).contains("CartesianProduct"), s"$name plans a cartesian")
     }

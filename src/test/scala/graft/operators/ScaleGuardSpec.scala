@@ -49,4 +49,31 @@ class ScaleGuardSpec extends AnyFunSuite {
       assert(Similarity.knnJoin(vecs(12), "vec_id", "embedding", 2).count() > 0)
     } finally spark.conf.unset(ScaleGuard.ConfKey)
   }
+
+  test("the guard's eager count costs exactly one count action on a parquet input") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction alone runs the guard's count — and nothing else.
+      // One count() action = up to 2 Spark jobs under AQE (the map
+      // stage materializes as its own job, then the final stage); the
+      // assertion documents that bound so a future guard accidentally
+      // counting twice (or materializing the quadratic subtree) fails.
+      ScaleGuard.allPairs(src, "op", "sibling")
+      // listener delivery is async; poll for the first event, then
+      // settle briefly to catch any unexpected extra job
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(250)
+      assert(jobs.get() >= 1 && jobs.get() <= 2,
+        s"expected the guard's single count (1-2 jobs under AQE), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
