@@ -32,8 +32,9 @@ object ScaleGuard {
   val ConfKey = "spark.graft.allPairs.maxRows"
   val DefaultMaxRows = 100000L
 
-  /** Returns `df` unchanged if it is small enough for an all-pairs
-    * stage; throws (naming `scaleSibling`) otherwise. */
+  /** Returns `df` (repartitioned for the pair stage, see below) if it
+    * is small enough for an all-pairs stage; throws (naming
+    * `scaleSibling`) otherwise. */
   def allPairs(df: DataFrame, op: String, scaleSibling: String): DataFrame = {
     val max = df.sparkSession.conf.getOption(ConfKey)
       .map(_.toLong).getOrElse(DefaultMaxRows)
@@ -45,6 +46,14 @@ object ScaleGuard {
           s"'$scaleSibling' — use that blocked form at this scale, or " +
           s"raise/disable the limit via spark conf '$ConfKey'.")
     }
-    df
+    // The pair stage is quadratic in ROWS but its task count is
+    // inherited from the INPUT partitioning: a guard-sized table is
+    // typically ONE parquet file, so the n²/2 nested loop would run on
+    // 1-2 tasks regardless of cores (observed: 20k vectors = 200M pairs
+    // on 2 of 32 cores, ~10 min). Fan the stream side out to the
+    // session's parallelism first — a row-count-sized shuffle, noise
+    // next to the n² work it parallelizes.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

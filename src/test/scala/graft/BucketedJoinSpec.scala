@@ -19,9 +19,24 @@ class BucketedJoinSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  /** Force the SMJ path with a SCOPED conf: a builder-level
+    * autoBroadcastJoinThreshold=-1 would leak into the shared JVM
+    * session (getOrCreate applies builder options to an existing
+    * session) and flip join strategies for every suite that runs
+    * after this one. */
+  private def withNoAutoBroadcast[A](f: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Drop the table AND its physical location: warehouse.dir is a
@@ -43,7 +58,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("bucketed tables join with zero shuffle exchanges") {
+  test("bucketed tables join with zero shuffle exchanges") { withNoAutoBroadcast {
     val dir = "/root/testdata/sf0.001"
     dropManaged("orders_b")
     dropManaged("lineitem_b")
@@ -65,7 +80,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       .findAllIn(plan).size
     assert(shufflesInJoin == 0, s"expected no join-key shuffle, plan:\n$plan")
     assert(joined.count() == 3)
-  }
+  } }
 
   test("date-partitioned writes prune partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

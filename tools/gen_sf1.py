@@ -13,13 +13,15 @@ COPIES = 10
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
-def gen(table, keyed_cols):
+def gen(table, keyed_cols, transforms=None):
     src = f"read_parquet('{SRC}/{table}.parquet')"
     cols = [c[0] for c in con.execute(f'DESCRIBE SELECT * FROM {src}').fetchall()]
     parts = []
     for k in range(COPIES):
         sel = ', '.join(
-            f'{c} + {k*OFF} AS {c}' if c in keyed_cols else c for c in cols)
+            f'{c} + {k*OFF} AS {c}' if c in keyed_cols
+            else f'{(transforms or {}).get(c)} AS {c}' if transforms and c in transforms
+            else c for c in cols)
         parts.append(f'SELECT {sel} FROM {src}')
     q = ' UNION ALL '.join(parts)
     con.execute(f"COPY ({q}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
@@ -34,6 +36,9 @@ gen('supplier', {'s_suppkey'})
 gen('part', {'p_partkey'})
 gen('orders', {'o_orderkey', 'o_custkey'})
 gen('lineitem', {'l_orderkey', 'l_partkey', 'l_suppkey'})
-gen('events', {'event_id', 'user_id'})
+# events.ts is physically TIMESTAMP(NANOS) (Spark reads it as LONG via
+# nanosAsLong); DuckDB would silently rewrite it as us-TIMESTAMP, so
+# emit raw INT64 nanos instead — same LONG on the Spark side.
+gen('events', {'event_id', 'user_id'}, transforms={'ts': 'epoch_ns(ts)'})
 gen('documents', {'doc_id'})
 gen('embeddings', {'vec_id'})
