@@ -65,6 +65,16 @@ object Bench {
       // (`MapPartitions graft...$$Lambda$2602/0x00007f11...`): the
       // index and address are per-JVM, the enclosing class is not.
       .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
+      // Partition COUNTS inside partitioning descriptors track the
+      // session's parallelism (shuffle.partitions, defaultParallelism
+      // via ScaleGuard's fan-out), i.e. the machine — not the plan.
+      // Masking the number keeps the partitioning KIND (hash vs range
+      // vs round-robin vs SinglePartition) fully visible, which is the
+      // strategy signal the fingerprint exists for. The trailing-arg
+      // rule also masks literal last-args like round(x, 6) — fine: a
+      // changed literal changes RESULTS, which the oracle owns.
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(x)")
+      .replaceAll(", \\d+\\)", ", x)")
   }
 
   def planFingerprint(df: DataFrame): String = {

@@ -242,4 +242,24 @@ class OperatorSpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("spark.graft.materialize=none yields identical results (no checkpoint)") {
+    // the conf trades recompute-per-consumer for fault tolerance and a
+    // leak-free block manager (pipeline use); results must not change
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      .collect().map(_.toSeq).toSet
+    val checkpointed = run()
+    // drop the blocks THAT run checkpointed (and anything a previous
+    // test pinned) so the emptiness check below sees only the none-run
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.conf.set("spark.graft.materialize", "none")
+    try {
+      val recomputed = run()
+      assert(recomputed == checkpointed)
+      // and no blocks were pinned into the block manager
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
 }
