@@ -304,17 +304,57 @@ object Dedup {
   }
 
   /**
-   * Connected components over an undirected edge list via alternating
-   * large-star / small-star (the MapReduce CC algorithm: Kiveris et
-   * al., "Connected Components in MapReduce and Beyond"). Converges in
-   * O(log² n) rounds; every round is two keyed shuffles — no
-   * driver-side graph, no assumption a component fits anywhere.
-   * `localCheckpoint` truncates lineage each round so the plan doesn't
-   * grow with iteration count. Returns (node, component) where
-   * component = min node id in the component; only nodes that appear
-   * in an edge are returned (isolated nodes are their own component by
-   * definition — callers left-join).
+   * Connected components over an undirected edge list. Two paths,
+   * picked by measured edge count:
+   *  - at or under `spark.graft.cc.localMaxEdges` (default 1M ≈ 16 MB
+   *    — broadcast-relation order): driver-side union-find, zero
+   *    additional Spark jobs;
+   *  - above: alternating large-star / small-star (the MapReduce CC
+   *    algorithm: Kiveris et al., "Connected Components in MapReduce
+   *    and Beyond"). Converges in O(log² n) rounds; every round is two
+   *    keyed shuffles — no driver-side graph, no assumption a
+   *    component fits anywhere. `localCheckpoint` truncates lineage
+   *    each round so the plan doesn't grow with iteration count.
+   * Both return (node, component) where component = min node id in the
+   * component; only nodes that appear in an edge are returned
+   * (isolated nodes are their own component by definition — callers
+   * left-join). OperatorSpec proves both paths agree with each other
+   * and with a reference union-find on random graphs.
    */
+  /** Edge sets at or under this size (conf
+    * `spark.graft.cc.localMaxEdges`) are solved driver-side with
+    * union-find instead of iterating: 1M (u, v) longs ≈ 16 MB — the
+    * same order as a broadcast relation, which Spark already ships to
+    * the driver without ceremony. Near-dup edge sets are SMALL even
+    * when the corpus is not (they're the duplicates); the iterative
+    * path is unchanged and takes over above the threshold. -1
+    * disables the local path. */
+  val CcLocalMaxEdgesKey = "spark.graft.cc.localMaxEdges"
+  val CcLocalMaxEdgesDefault = 1000000L
+
+  /** Driver-side union-find with path compression, min-id roots. */
+  private def unionFindComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id wins the root so component = min node id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     // directed larger→smaller, self-loops dropped
@@ -330,6 +370,18 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var lastSig = signature(edges)
+    // model-parameter-sized graphs: solve on the driver (O(E α) — the
+    // signature job above already priced the count, so this branch
+    // costs zero extra Spark jobs before the answer)
+    val spark0 = pairs.sparkSession
+    val localMax = spark0.conf.getOption(CcLocalMaxEdgesKey)
+      .map(_.toLong).getOrElse(CcLocalMaxEdgesDefault)
+    if (localMax >= 0L && lastSig._1 <= localMax) {
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = unionFindComponents(collected).toSeq
+      import spark0.implicits._
+      return comp.toDF("node", "component")
+    }
     // size the loop's shuffles to the edge count, not the session
     // default: each round is several keyed shuffles over a set that's
     // usually FAR smaller than the corpus (near-dup pairs), and a

@@ -43,10 +43,21 @@ class OperatorSpec extends AnyFunSuite {
           val root = find(n.toInt)
           touched.filter(m => find(m.toInt) == root).min
         }).toMap
-        val got = Dedup.connectedComponents(
+        // both paths must agree with the reference: the driver-side
+        // union-find (default for model-parameter-sized edge sets) AND
+        // the distributed large-star/small-star iteration (forced by
+        // disabling the local path)
+        val gotLocal = Dedup.connectedComponents(
             edges.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected, s"trial $trial: $edges")
+        assert(gotLocal == expected, s"trial $trial (local): $edges")
+        spark.conf.set(Dedup.CcLocalMaxEdgesKey, "-1")
+        try {
+          val gotIter = Dedup.connectedComponents(
+              edges.toDF("a", "b"), "a", "b")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(gotIter == expected, s"trial $trial (iterative): $edges")
+        } finally spark.conf.unset(Dedup.CcLocalMaxEdgesKey)
       }
     }
   }
