@@ -85,13 +85,13 @@ object Dedup {
    * intersection join all read the same checkpointed rows rather than
    * re-deriving the shingle pipeline per consumer.
    */
-  private def annotatedShingleTable(df: DataFrame, idCol: String,
-      textCol: String, n: Int, maxShingleFreq: Int): DataFrame = {
+  private def annotateShingles(shRaw: DataFrame,
+      maxShingleFreq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wS = Window.partitionBy(col("s"))
     val wDoc = Window.partitionBy(col("doc"))
     val wRank = Window.partitionBy(col("doc")).orderBy(col("df_count"), col("s"))
-    materialize(shingleHashes(df, idCol, textCol, n)
+    materialize(shRaw
       .withColumn("df_count", count(lit(1)).over(wS))
       .filter(col("df_count") <= maxShingleFreq)
       .withColumn("sz", count(lit(1)).over(wDoc))
@@ -118,8 +118,16 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleFreq: Int = 100): DataFrame = {
-    val sh = annotatedShingleTable(df, idCol, textCol, n, maxShingleFreq)
+      maxShingleFreq: Int = 100): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleHashes(df, idCol, textCol, n), threshold, maxShingleFreq)
+
+  /** Jaccard pair join over an existing distinct (doc, s) shingle
+    * table — lets the registry self-check share ONE shingle pass with
+    * the MinHash side. */
+  private[operators] def ngramJaccardPairsFromShingles(shRaw: DataFrame,
+      threshold: Double, maxShingleFreq: Int): DataFrame = {
+    val sh = annotateShingles(shRaw, maxShingleFreq)
     // rarest-first prefix: only the first sz − ⌈τ·sz⌉ + 1 shingles
     // of a doc can open a candidate pair
     val prefix = sh
@@ -165,9 +173,21 @@ object Dedup {
    * LSH paths), so the quadratic stage never carries signature payloads.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashLshPairsFromShingles(shingleHashes(df, idCol, textCol, n),
+      bands, rowsPerBand)
+
+  // NOTE: sharing ONE materialized shingle table between the jaccard
+  // and minhash sides of the registry self-check was measured SLOWER
+  // (sf1: 19.6s vs 16.0s) — the raw shingle table is large, and
+  // checkpointing it costs more than recomputing the codegen'd explode
+  // pass twice. Unlike the simhash signature table (64 aggregate
+  // columns, genuinely expensive — see simhashPairsBoth), shingle
+  // construction is cheap; only its ANNOTATED form (3 window passes)
+  // merits materialization, which each side already does for itself.
+  private[operators] def minhashLshPairsFromShingles(sh: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = shingleHashes(df, idCol, textCol, n)
     // banding + both fetch sides read the signatures; compute once
     // (see `materialize` for the checkpoint contract)
     val sigs = materialize(sh.groupBy(col("doc"))
@@ -220,9 +240,8 @@ object Dedup {
         .reduce(_ bitwiseOR _).as("sig"))
   }
 
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+  /** Banded pair join over an existing signature table. */
+  private def simhashBandedFrom(sigs: DataFrame, maxHamming: Int): DataFrame = {
     // shiftright with a per-band offset needs SQL (literal-only in the DSL)
     val banded = sigs.selectExpr("doc", "sig",
         "posexplode(transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS block)))")
@@ -238,6 +257,18 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** All-pairs hamming over an existing signature table (caller gates). */
+  private def simhashBruteFrom(sigs: DataFrame, maxHamming: Int): DataFrame =
+    sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashBandedFrom(simhashSignatures(df, idCol, textCol), maxHamming)
+
   /**
    * Brute-force SimHash pairs — all-pairs hamming over the signatures,
    * no banding. The EXACT anchor `simhashPairs` is provably equal to
@@ -247,15 +278,25 @@ object Dedup {
    * but the pair space is still O(n²).
    */
   def simhashBrutePairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(
+      maxHamming: Int = 3): DataFrame =
+    simhashBruteFrom(simhashSignatures(
       ScaleGuard.allPairs(df, "simhash_brute (exact anchor)", "dedup_simhash"),
-      idCol, textCol)
-    sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id1"), col("id2"))
+      idCol, textCol), maxHamming)
+
+  /**
+   * Banded and brute pair sets from ONE materialized signature table —
+   * the registry self-check runs both, and the 64 aggregate columns
+   * behind the signature are the expensive part, not the joins: at 10×
+   * bench SF computing them twice was over half the query. The guard
+   * counts the CHECKPOINTED frame, so it does not re-execute the
+   * signature pipeline (see ScaleGuard's derived-input note).
+   */
+  def simhashPairsBoth(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    val sigs = ScaleGuard.allPairs(
+      materialize(simhashSignatures(df, idCol, textCol)),
+      "simhash_brute (exact anchor)", "dedup_simhash")
+    (simhashBandedFrom(sigs, maxHamming), simhashBruteFrom(sigs, maxHamming))
   }
 
   /**

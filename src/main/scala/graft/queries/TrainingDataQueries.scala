@@ -131,8 +131,10 @@ object TrainingDataQueries {
     * into one keyed aggregation — each pipeline runs once. */
   def simhashChecked(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-    val brute = Dedup.simhashBrutePairs(docs, "doc_id", "text", maxHamming = 3)
+    // one materialized signature table feeds BOTH pair joins — the 64
+    // bit-vote aggregates are the expensive stage, not the joins
+    val (banded, brute) = Dedup.simhashPairsBoth(docs, "doc_id", "text",
+      maxHamming = 3)
     val tagged = brute.select(col("id1"), col("id2"),
         lit(1).as("x"), lit(0).as("b"))
       .unionByName(banded.select(col("id1"), col("id2"),

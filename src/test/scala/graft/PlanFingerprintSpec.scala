@@ -67,6 +67,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
       Files.createDirectories(snapshotPath.getParent)
       Files.write(snapshotPath,
         current.map { case (n, f) => s"$n $f" }.asJava)
+      // keep the normalized plans the snapshot hashes came from — when
+      // a later compare disagrees, the diff lives here, not in the hash
+      val dump = Paths.get("target/plan_snapshot_src")
+      Files.createDirectories(dump)
+      current.foreach { case (n, _) =>
+        Files.writeString(dump.resolve(s"$n.txt"), plans(n)) }
       info(s"snapshot written: $snapshotPath (${current.size} queries)")
     } else {
       val snap = Files.readAllLines(snapshotPath).asScala
