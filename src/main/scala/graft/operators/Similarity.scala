@@ -77,6 +77,15 @@ object Similarity {
    * by construction (recall tunable via bands × planesPerBand — more
    * bands = more candidate buckets per item); `knnJoin` is its exact
    * oracle, and the recall spec pins the floor at test SF.
+   *
+   * SIZE `planesPerBand` TO THE CORPUS: each band has 2^planesPerBand
+   * buckets, and within-bucket work is quadratic in bucket size — at
+   * n rows expect n/2^p vectors per bucket, so pick p with
+   * 2^p ≳ n / desired_bucket_size or the blocked path degenerates
+   * toward all-pairs (measured: at 20k vectors the default 4-bit
+   * buckets hold ~1.2k vectors each and the candidate join approaches
+   * the exact sibling's cost). More planes per band lowers recall per
+   * band — compensate with more bands.
    */
   def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
