@@ -32,14 +32,23 @@ object Bench {
       .replaceAll("Location: [^\\n]+", "Location: x")
       .replaceAll("rowCount=\\d+", "rowCount=x")
       .replaceAll("LocalTableScan \\[[^\\]]*\\]", "LocalTableScan [x]")
-      .replaceAll("\\d{8,}", "N")
       // lambda variable names (`lambda x_15`) come from a session-global
       // counter that advances per query CONSTRUCTION — two runs of the
       // same query get different names. Pure noise, never a plan change.
       .replaceAll("lambda x_\\d+", "lambda x_N")
+      // JVM synthetic lambda class names in typed-operator toStrings
+      // (`MapPartitions graft...$$Lambda$2602/0x00007f11...`): the
+      // index and address are per-JVM, the enclosing class is not.
+      .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
       // JVM identity hashes in parameter toStrings (e.g. the hyperplane
       // matrix `[D@121bc70a` inside HyperplaneCodeD) vary per object.
       .replaceAll("@[0-9a-f]{4,}", "@x")
+      // big numeric literals (epoch micros etc.) — MUST run after the
+      // hex-address and identity-hash rules above: a random hash/address
+      // sometimes contains an 8+ digit decimal run, and rewriting it
+      // first leaves `$$Lambda$xNf8`-style shrapnel those rules no
+      // longer match (observed as a bistable mm_features fingerprint).
+      .replaceAll("\\d{8,}", "N")
       // The DataFilters metadata value is truncated to a FIXED CHAR
       // BUDGET (spark.sql.maxMetadataStringLength, 100): session-global
       // variable-width tokens inside it (expr ids `#12345`, lambda
@@ -61,10 +70,6 @@ object Bench {
       // masking the labels can't hide a real operator change.
       .replaceAll("QueryStage \\d+", "QueryStage x")
       .replaceAll("\\*\\(\\d+\\)", "*(n)")
-      // JVM synthetic lambda class names in typed-operator toStrings
-      // (`MapPartitions graft...$$Lambda$2602/0x00007f11...`): the
-      // index and address are per-JVM, the enclosing class is not.
-      .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
       // Partition COUNTS inside partitioning descriptors track the
       // session's parallelism (shuffle.partitions, defaultParallelism
       // via ScaleGuard's fan-out), i.e. the machine — not the plan.
