@@ -6,6 +6,27 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object Bench {
 
   /**
+   * Wrap a query so NOTHING can be pruned: hash every output column of
+   * every row into one checksum row. The previous wrapper —
+   * `groupBy().count()` — let Catalyst optimize the COUNT, not the
+   * query: a count over a left join whose right side it can prove
+   * unique on the join keys ELIMINATES the join, which silently
+   * dropped the entire approximate pipeline out of the self-checking
+   * registry queries (measured: `knn_join_blocked`'s count-wrapped
+   * optimized plan contained only the exact sibling). Timings and
+   * plan fingerprints must cover the plan the real query runs, so the
+   * wrapper now consumes every column: per-row xxhash64 over the
+   * string forms, folded with bit_xor (overflow-safe under ANSI).
+   * Verify (the correctness path) writes real output and never
+   * wrapped; this affects evidence collection only.
+   */
+  def consumed(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+  }
+
+  /**
    * Fingerprint of the EXECUTED physical plan (post-AQE final plan):
    * the operator tree with per-run noise stripped — expression ids
    * (#123), plan/subquery ids, file paths/sizes, statistics. Two runs
@@ -113,12 +134,12 @@ object Bench {
         : (Double, Option[String], Option[String]) = {
       val t0 = System.nanoTime()
       val (err, fp) = try {
-        // count through a Dataset we keep a handle on: collect()
+        // consume through a Dataset we keep a handle on: collect()
         // executes ITS queryExecution, so the AQE plan finalizes in
         // place and the fingerprint below reads the plan that actually
         // ran (df.count() would execute a throwaway QueryExecution,
         // leaving df's own plan un-finalized)
-        val counted = fn(spark, sfDir).groupBy().count()
+        val counted = consumed(fn(spark, sfDir))
         counted.collect()
         (None, Some(planFingerprint(counted)))
       } catch {

@@ -37,7 +37,7 @@ object FpProbe {
 
     for (name <- names) {
       val plans = (1 to runs).map { _ =>
-        val counted = SparkEntry.queries(name)(spark, sfDir).groupBy().count()
+        val counted = Bench.consumed(SparkEntry.queries(name)(spark, sfDir))
         counted.collect()
         val p = Bench.normalizedPlan(counted)
         spark.sharedState.cacheManager.clearCache()

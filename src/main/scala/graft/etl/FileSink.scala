@@ -73,16 +73,32 @@ object FileSink {
    * mainnet block is a single ~40 MB JSON line) make the repeated
    * parse both the dominant cost and a transient-memory hazard.
    */
-  def writeAll(blocks: DataFrame, destDir: String, asCsv: Boolean = false): Unit = {
+  def writeAll(blocks: DataFrame, destDir: String, asCsv: Boolean = false): Unit =
+    writeTasks(blocks, destDir, TaskNames, asCsv)
+
+  /** Task name → table plan, mirroring `TransformTask.from_names`. */
+  val TaskNames: Seq[String] =
+    Seq("transactions", "transfers", "accounts", "blocks", "errors")
+
+  private def taskTable(blocks: DataFrame, name: String): DataFrame = name match {
+    case "transactions" => SolanaTransforms.transactions(blocks)
+    case "transfers" => SolanaTransforms.transfers(blocks)
+    case "accounts" => SolanaTransforms.accounts(blocks)
+    case "blocks" => SolanaTransforms.blockInfo(blocks)
+    case "errors" => BlockIngest.errors(blocks)
+    case other => throw new IllegalArgumentException(
+      s"unknown task '$other' (tasks: ${TaskNames.mkString(", ")})")
+  }
+
+  /** A chosen subset of task tables (the CLI's `--tasks`). */
+  def writeTasks(blocks: DataFrame, destDir: String, tasks: Seq[String],
+      asCsv: Boolean = false): Unit = {
+    require(tasks.nonEmpty, "no tasks selected")
     val out: (DataFrame, String) => Unit =
       if (asCsv) (df, p) => writeCsv(df, p) else (df, p) => writeParquet(df, p)
     val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try SolanaTransforms.withBlockEtlPlanning(blocks.sparkSession) {
-      out(SolanaTransforms.transactions(cached), s"${destDir}_transactions")
-      out(SolanaTransforms.transfers(cached), s"${destDir}_transfers")
-      out(SolanaTransforms.accounts(cached), s"${destDir}_accounts")
-      out(SolanaTransforms.blockInfo(cached), s"${destDir}_blocks")
-      out(BlockIngest.errors(cached), s"${destDir}_errors")
+      tasks.foreach(t => out(taskTable(cached, t), s"${destDir}_$t"))
     } finally cached.unpersist()
   }
 }

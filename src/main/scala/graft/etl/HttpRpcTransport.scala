@@ -51,7 +51,17 @@ final class HttpRpcTransport(
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(requestBody(slot)))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // An interrupt during the blocking send must CANCEL the walk, not
+    // become a sleep-and-retry: restore the thread's interrupt status
+    // (send clears it when it throws) and rethrow — InterruptedException
+    // is fatal to scala.util.control.NonFatal, so it propagates past
+    // ExtractClient.fetchWithBackoff's retry loop by construction.
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString())
+      catch { case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw e
+      }
     if (resp.statusCode() / 100 != 2)
       throw new java.io.IOException(
         s"HTTP ${resp.statusCode()} from $endpoint for slot $slot")

@@ -314,27 +314,21 @@ object Dedup {
    * for what this approximates.
    */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+      threshold: Double, dim: Int, bands: Int = 16, planesPerBand: Int = 4,
+      maxBucketRows: Int = 1024): DataFrame = {
     import graft.functions.VectorFunctions.dotd
     val vecs = df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
-    val coded = vecs.withColumn("code",
-      Similarity.hyperplaneCode(col("v"), dim, bands * planesPerBand))
-    // candidate generation is NARROW (id, band, bucket): the band join
-    // and the multi-band-hit distinct shuffle longs, not vectors; the
+    val coded = vecs.select(col("id"),
+      Similarity.hyperplaneCode(col("v"), dim, bands * planesPerBand).as("code"))
+    // candidate generation is NARROW (id, code, band, bucket) longs —
+    // `bandedHalfPairs` emits each unordered pair exactly once (first-
+    // colliding-band, no distinct) and salts dense buckets; the
     // vectors are fetched by equi-join once per UNIQUE pair, so each
     // surviving pair's cosine is computed exactly once
-    val banded = coded.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        shiftright(col("code"), b * planesPerBand)
-          .bitwiseAND(lit((1 << planesPerBand) - 1))
-      }: _*)).as(Seq("band", "bucket")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    val cands = Similarity.bandedHalfPairs(coded, bands, planesPerBand,
+      maxBucketRows)
     cands
       .join(vecs.as("va"), col("id1") === col("va.id"))
       .join(vecs.as("vb"), col("id2") === col("vb.id"))
@@ -364,36 +358,52 @@ object Dedup {
    */
   /** Edge sets at or under this size (conf
     * `spark.graft.cc.localMaxEdges`) are solved driver-side with
-    * union-find instead of iterating: 1M (u, v) longs ≈ 16 MB — the
-    * same order as a broadcast relation, which Spark already ships to
-    * the driver without ceremony. Near-dup edge sets are SMALL even
-    * when the corpus is not (they're the duplicates); the iterative
-    * path is unchanged and takes over above the threshold. -1
-    * disables the local path. */
+    * union-find instead of iterating: with the primitive-array
+    * structures below, 1M edges cost ~50 MB resident (plus a
+    * transient ~100 B/edge for the collected Rows) — broadcast-
+    * relation order, which Spark already ships to the driver without
+    * ceremony. Near-dup edge sets are SMALL even when the corpus is
+    * not (they're the duplicates); the iterative path is unchanged
+    * and takes over above the threshold. -1 disables the local
+    * path. */
   val CcLocalMaxEdgesKey = "spark.graft.cc.localMaxEdges"
   val CcLocalMaxEdgesDefault = 1000000L
 
-  /** Driver-side union-find with path compression, min-id roots. */
-  private def unionFindComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val next = parent.getOrElse(c, c); parent(c) = r; c = next
-      }
-      r
+  /**
+   * Driver-side union-find over PRIMITIVE arrays — node ids are sorted
+   * into a `long[]` and the forest lives in an `int[]` over indices, so
+   * resident memory is ~16·E + 12·N bytes (1M edges ≈ 50 MB), not the
+   * several hundred MB a boxed Map[Long,Long] + Set costs at the same
+   * threshold. (The `collect()` that feeds this still boxes Rows
+   * transiently — freed as soon as they're copied into the arrays.)
+   * Ids are sorted ascending, so min-index root = min-id root.
+   */
+  private def unionFindComponents(us: Array[Long], vs: Array[Long])
+      : (Array[Long], Array[Int]) = {
+    val ids = java.util.Arrays.copyOf(us, us.length + vs.length)
+    System.arraycopy(vs, 0, ids, us.length, vs.length)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    for (i <- ids.indices)
+      if (i == 0 || ids(i) != ids(i - 1)) { ids(n) = ids(i); n += 1 }
+    val nodes = java.util.Arrays.copyOf(ids, n)
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) } // path halving
+      x
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { // min id wins the root so component = min node id
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
-      }
-      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    var e = 0
+    while (e < us.length) {
+      val ra = find(java.util.Arrays.binarySearch(nodes, us(e)))
+      val rb = find(java.util.Arrays.binarySearch(nodes, vs(e)))
+      // min index wins the root so component = min node id
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      e += 1
     }
-    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-    nodes.iterator.map(n => n -> find(n)).toMap
+    var i = 0
+    while (i < n) { parent(i) = find(i); i += 1 }
+    (nodes, parent)
   }
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
@@ -418,10 +428,17 @@ object Dedup {
     val localMax = spark0.conf.getOption(CcLocalMaxEdgesKey)
       .map(_.toLong).getOrElse(CcLocalMaxEdgesDefault)
     if (localMax >= 0L && lastSig._1 <= localMax) {
-      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val comp = unionFindComponents(collected).toSeq
+      val collected = edges.collect()
+      val us = new Array[Long](collected.length)
+      val vs = new Array[Long](collected.length)
+      var i = 0
+      while (i < collected.length) {
+        us(i) = collected(i).getLong(0); vs(i) = collected(i).getLong(1); i += 1
+      }
+      val (nodes, roots) = unionFindComponents(us, vs)
       import spark0.implicits._
-      return comp.toDF("node", "component")
+      return nodes.indices.map(j => (nodes(j), nodes(roots(j))))
+        .toDF("node", "component")
     }
     // size the loop's shuffles to the edge count, not the session
     // default: each round is several keyed shuffles over a set that's

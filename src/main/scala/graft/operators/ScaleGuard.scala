@@ -25,7 +25,9 @@ import org.apache.spark.sql.DataFrame
  * read); against a DERIVED frame it re-executes the upstream plan —
  * a caller composing an anchor over an expensive pipeline should
  * `.persist()` the input first (the count then doubles as the
- * materializing action) or disable the guard for that call.
+ * materializing action) or disable the guard for that call. With the
+ * guard disabled (-1), construction runs NO job at all — the fan-out
+ * repartition below is lazy.
  */
 object ScaleGuard {
 
@@ -51,9 +53,13 @@ object ScaleGuard {
     // typically ONE parquet file, so the n²/2 nested loop would run on
     // 1-2 tasks regardless of cores (observed: 20k vectors = 200M pairs
     // on 2 of 32 cores, ~10 min). Fan the stream side out to the
-    // session's parallelism first — a row-count-sized shuffle, noise
-    // next to the n² work it parallelizes.
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // session's parallelism — UNCONDITIONALLY and LAZILY: probing the
+    // current partition count via Dataset.rdd would force AQE to
+    // materialize every upstream stage at construction time (re-running
+    // derived inputs, and defeating the max=-1 escape hatch entirely),
+    // whereas an occasionally-redundant repartition of a guard-sized
+    // input is a row-count-sized shuffle — noise next to the n² work
+    // it parallelizes.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 }

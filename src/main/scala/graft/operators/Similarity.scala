@@ -69,45 +69,104 @@ object Similarity {
   }
 
   /**
+   * Candidate half-pairs (id1 < id2) sharing at least one hyperplane
+   * band bucket, from a coded table of (id, code) — the shared
+   * candidate stage of `knnJoinBlocked` and
+   * `Dedup.embeddingNearDupLsh`. Two scale defenses over the naive
+   * band self-join + distinct, both EXACT (the pair set is identical
+   * to the naive form's — no recall change):
+   *
+   *  1. FIRST-COLLIDING-BAND dedup: a pair sharing m band buckets is
+   *     generated m times by the naive join and needs a
+   *     candidate-sized distinct shuffle to collapse — on a dup-dense
+   *     corpus (every LSH bucket maximally dense, the exact workload
+   *     dedup exists for) that shuffle approaches the all-pairs count
+   *     and was the measured sf1 bottleneck. Both join sides carry
+   *     their full code, so the join emits a pair ONLY in the lowest
+   *     band where the codes' segments agree: each unordered pair
+   *     materializes exactly once, map-side, and the distinct
+   *     disappears. The lowest agreeing band falls out of branch-free
+   *     bit math on xor(codeA, codeB) (SWAR zero-segment detect, then
+   *     lowest-set-bit rank via bit_count) — fully codegen'd longs.
+   *  2. DENSE-BUCKET SALTING (`maxBucketRows`): within-bucket work is
+   *     quadratic in bucket size and a hash join gives one task the
+   *     whole bucket, so a single degenerate bucket serializes the
+   *     stage. Buckets above the cap are split into
+   *     g = ⌈size/cap⌉ salt groups — probe side keeps one group per
+   *     row, build side replicates g ways (the `Salt.saltedJoin`
+   *     replication scheme applied to a self-join) — the same pairs
+   *     emerge, spread over g tasks. Bucket sizes come from one
+   *     narrow aggregation, broadcast back (bands × 2^planes rows).
+   *     Unlike dropping rows over the cap, salting costs no recall.
+   */
+  private[operators] def bandedHalfPairs(coded: DataFrame,
+      bands: Int, planesPerBand: Int, maxBucketRows: Int = 1024): DataFrame = {
+    val p = planesPerBand
+    require(bands * p <= 64, s"bands*planesPerBand must fit a long code")
+    require(maxBucketRows > 0, "maxBucketRows must be positive")
+    val mask = (1L << p) - 1
+    val banded = coded.select(col("id"), col("code"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("code"), b * p).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bucket")))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .select(col("band"), col("bucket"),
+        greatest(lit(1L), ceil(col("bsz") / lit(maxBucketRows))).cast("int").as("g"))
+    val withG = banded.join(broadcast(sizes), Seq("band", "bucket"))
+    val probe = withG.withColumn("salt",
+      pmod(xxhash64(col("id"), col("band")), col("g")).cast("int"))
+    val build = withG.withColumn("salt",
+      explode(sequence(lit(0), col("g") - 1)))
+    // first-colliding-band: segment i of xor == 0 iff the pair shares
+    // band i's bucket. OR-fold each p-bit segment onto its low bit
+    // (SWAR), invert+mask → set bit per colliding band, isolate the
+    // lowest set bit, rank it with bit_count. The joined band is
+    // guaranteed to collide, so the lowest-set-bit rank is well-defined.
+    val lsbMask = (0 until bands).map(i => 1L << (i * p)).reduce(_ | _)
+    val x = col("a.code").bitwiseXOR(col("b.code"))
+    val folded = (0 until p).map(j => shiftright(x, j)).reduce(_ bitwiseOR _)
+      .bitwiseAND(lit(lsbMask))
+    val colliding = bitwise_not(folded).bitwiseAND(lit(lsbMask))
+    val lowest = colliding.bitwiseAND(-colliding)
+    val firstBand = (bit_count(lowest - lit(1L)) / lit(p)).cast("int")
+    probe.as("a").join(build.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+      .filter(col("a.band") === firstBand)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+  }
+
+  /**
    * Blocked k-NN JOIN — the 100 TB sibling of `knnJoin`: candidates
-   * come from shared hyperplane-band buckets (equi-join on (band,
-   * bucket) — the same banding `Dedup.embeddingNearDupLsh` uses), so
-   * no nested loop ever sees the full corpus. Exact cosine runs only
-   * within buckets; per-item top-k over the candidate set. Approximate
-   * by construction (recall tunable via bands × planesPerBand — more
+   * come from shared hyperplane-band buckets (`bandedHalfPairs` — the
+   * same banding `Dedup.embeddingNearDupLsh` uses, with its
+   * first-band dedup and dense-bucket salting), so no nested loop
+   * ever sees the full corpus. Exact cosine runs only within buckets;
+   * per-item top-k over the candidate set. Approximate by
+   * construction (recall tunable via bands × planesPerBand — more
    * bands = more candidate buckets per item); `knnJoin` is its exact
    * oracle, and the recall spec pins the floor at test SF.
    *
    * SIZE `planesPerBand` TO THE CORPUS: each band has 2^planesPerBand
-   * buckets, and within-bucket work is quadratic in bucket size — at
-   * n rows expect n/2^p vectors per bucket, so pick p with
-   * 2^p ≳ n / desired_bucket_size or the blocked path degenerates
-   * toward all-pairs (measured: at 20k vectors the default 4-bit
-   * buckets hold ~1.2k vectors each and the candidate join approaches
-   * the exact sibling's cost). More planes per band lowers recall per
-   * band — compensate with more bands.
+   * buckets — at n rows expect n/2^p vectors per bucket, so pick p
+   * with 2^p ≳ n / desired_bucket_size; `maxBucketRows` salting keeps
+   * dense buckets parallel, but candidate COUNT still grows with
+   * bucket size². More planes per band lowers recall per band —
+   * compensate with more bands.
    */
   def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+      dim: Int, bands: Int = 16, planesPerBand: Int = 4,
+      maxBucketRows: Int = 1024): DataFrame = {
     val vecs = withNorm(df, Seq(idCol), vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"))
-    val coded = vecs.withColumn("code",
-      hyperplaneCode(col("v"), dim, bands * planesPerBand))
-    // candidate generation is NARROW (id, band, bucket) — the band join
-    // and multi-band-hit distinct shuffle longs, not vectors; vectors
-    // are fetched by equi-join once per unique half-pair (id1 < id2),
-    // so each unordered pair's dot product is computed exactly once,
-    // then mirrored
-    val banded = coded.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        shiftright(col("code"), b * planesPerBand)
-          .bitwiseAND(lit((1 << planesPerBand) - 1))
-      }: _*)).as(Seq("band", "bucket")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    val coded = vecs.select(col("id"),
+      hyperplaneCode(col("v"), dim, bands * planesPerBand).as("code"))
+    // candidate generation is NARROW (id, code, band, bucket) longs —
+    // vectors are fetched by equi-join once per unique half-pair
+    // (id1 < id2), so each unordered pair's dot product is computed
+    // exactly once, then mirrored
+    val cands = bandedHalfPairs(coded, bands, planesPerBand, maxBucketRows)
     val half = cands
       .join(vecs.as("va"), col("id1") === col("va.id"))
       .join(vecs.as("vb"), col("id2") === col("vb.id"))
@@ -157,9 +216,11 @@ object Similarity {
    * IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
    * vector to a centroid; a query probes only the `nProbe` nearest
    * centroids' lists and runs exact cosine there. The centroid set is
-   * the model (driver-held, tiny); the corpus stays distributed and at
-   * scale would be written partitioned by `cluster` so a probe reads
-   * only its lists' files.
+   * the model (driver-held, tiny); the corpus stays distributed. This
+   * in-memory form is the registry's correctness artifact — the
+   * production path is `ivfIndexWrite`/`ivfProbe`, which fits the
+   * quantizer once, persists the corpus partitioned by `cluster`, and
+   * prunes probes to the probed clusters' directories.
    */
   def ivfAnn(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
@@ -228,6 +289,76 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Materialized IVF index — the claim in `ivfAnn`'s doc ("at scale
+   * written partitioned by cluster") made physical, the way
+   * `annIndexWrite` did for the banded ANN. The KMeans coarse
+   * quantizer is fit ONCE at build time; the corpus is written
+   * PARTITIONED BY its cluster assignment, and the centroid matrix
+   * (model parameters — nCentroids × dim doubles) is persisted next
+   * to the index as its own small parquet. A probe then needs no
+   * KMeans fit and no full scan: it ranks centroids driver-side and
+   * reads only the probed clusters' directories (partition pruning at
+   * file-listing level — IvfIndexSpec pins PartitionFilters and the
+   * numFiles scan metric).
+   */
+  def ivfIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, seed: Long = 42L,
+      extraCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = withNorm(df, idCol +: extraCols, vecCol)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(corpus.select(col("fv")))
+    model.transform(corpus).drop("fv")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    // centroids: model parameters, one row per (cluster, dim, value)
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .flatMap { case (c, i) => c.toArray.zipWithIndex.map { case (x, d) => (i, d, x) } }
+      .toSeq.toDF("cluster", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  private def centroidsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_centroids"
+
+  /**
+   * Probe the materialized IVF index: centroids load driver-side
+   * (model parameters), the `nProbe` nearest-by-cosine clusters are
+   * picked locally, and the scan filter is a literal `cluster IN (…)`
+   * over the partition column — Spark prunes to those directories at
+   * file-listing time. Exact cosine runs on the probed lists only.
+   */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryVec: Array[Double], k: Int, nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = spark.read.parquet(centroidsPath(path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(_._3)
+      }
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    def cosTo(c: Array[Double]): Double = {
+      val d = c.zip(queryVec).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) -1 else d / (n * qnrm)
+    }
+    val probes = centroids.toSeq.sortBy { case (_, c) => -cosTo(c) }
+      .take(nProbe).map(_._1)
+    val qv = array(queryVec.map(lit): _*)
+    val hits = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+    excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id))
+      .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
+      .select(col(idCol), col("cluster"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Driver-side mirror of `HyperplaneCodeD` (bit p = sign(v·plane_p),
     * `>= 0` inclusive, same seeded planes) — for computing a QUERY
     * vector's buckets as model parameters, no Spark job. */
@@ -276,10 +407,15 @@ object Similarity {
    * on the candidates only.
    */
   def annProbe(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, queryVec: Array[Double], k: Int,
+      idCol: String, queryVec: Array[Double], k: Int, dim: Int,
       bands: Int = 16, planesPerBand: Int = 4, seed: Long = 42L,
       excludeId: Option[Long] = None): DataFrame = {
-    val code = hyperplaneCodeLocal(queryVec, queryVec.length,
+    // dim MUST be the dim the index was written with: the seeded plane
+    // stream is Array.fill(nPlanes, dim), so a different dim changes
+    // every plane and the probe would silently read the wrong buckets
+    require(queryVec.length <= dim,
+      s"query vector has ${queryVec.length} dims but the index was written with $dim")
+    val code = hyperplaneCodeLocal(queryVec, dim,
       bands * planesPerBand, seed)
     val mask = (1 << planesPerBand) - 1
     val pred = (0 until bands).map { b =>

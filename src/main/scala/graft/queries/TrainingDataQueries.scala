@@ -106,7 +106,12 @@ object TrainingDataQueries {
       .join(approx.select(keys.map(col): _*).withColumn("hit", lit(1)),
         keys, "left")
       .agg(count(lit(1)).as(nAlias),
-        (count(col("hit")) >= count(lit(1)) * floor).as("within_bound"))
+        (count(col("hit")) >= count(lit(1)) * floor).as("within_bound"),
+        // guards the bound against vacuous truth: over an EMPTY exact
+        // set every `count >= count*floor` holds trivially — the
+        // oracle pins this flag TRUE, so a testdata change that
+        // empties the exact side fails loudly instead of passing
+        (count(lit(1)) > 0).as("nonempty"))
 
   /** MinHash check adds the estimator bound: every recalled pair's
     * `est_jaccard` within 5σ (σ=√(J(1−J)/64)≈0.05 at J≥0.8 → 0.25) of
@@ -122,7 +127,10 @@ object TrainingDataQueries {
       .agg(count(lit(1)).as("n_exact_pairs"),
         (count(col("est_jaccard")) >= count(lit(1)) * 0.95).as("within_bound"),
         coalesce(max(abs(col("est_jaccard") - col("jaccard"))) <= 0.25,
-          lit(true)).as("est_ok"))
+          lit(true)).as("est_ok"),
+        // anti-vacuity: both bound flags coalesce to true on an empty
+        // pair set; the oracle pins TRUE here so that failure is loud
+        (count(lit(1)) > 0).as("nonempty"))
   }
 
   /** SimHash check is an EQUALITY, not a recall floor: banding is
@@ -147,7 +155,11 @@ object TrainingDataQueries {
       .crossJoin(folded)
       .select(col("n_docs"),
         coalesce(col("nx") === col("nb") && col("ni") === col("nx"),
-          lit(true)).as("sets_equal"))
+          lit(true)).as("sets_equal"),
+        // anti-vacuity: an empty pair set coalesces `sets_equal` to
+        // true; the oracle pins TRUE here so emptied testdata fails
+        // loudly (sf0.01 has real hamming≤3 pairs today)
+        (coalesce(col("nx"), lit(0L)) > 0).as("nonempty"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -265,21 +277,23 @@ object TrainingDataQueries {
         |prs AS (SELECT id1, id2 FROM ints
         |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
         |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8)
-        |SELECT count(*) AS n_exact_pairs, TRUE AS within_bound, TRUE AS est_ok
+        |SELECT count(*) AS n_exact_pairs, TRUE AS within_bound, TRUE AS est_ok,
+        | TRUE AS nonempty
         |FROM prs""".stripMargin,
     "dedup_simhash" ->
-      "SELECT count(*) AS n_docs, TRUE AS sets_equal FROM documents",
+      "SELECT count(*) AS n_docs, TRUE AS sets_equal, TRUE AS nonempty FROM documents",
     "dedup_embedding_lsh" ->
-      """SELECT count(*) AS n_exact_pairs, TRUE AS within_bound
+      """SELECT count(*) AS n_exact_pairs, TRUE AS within_bound, TRUE AS nonempty
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
     "knn_join_blocked" ->
-      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS within_bound
+      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, TRUE AS within_bound,
+        | TRUE AS nonempty
         |FROM embeddings""".stripMargin,
     "ann_lsh" ->
-      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound",
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "ivf_ann" ->
-      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound",
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (
         | SELECT a.vec_id AS id1, b.vec_id AS id2

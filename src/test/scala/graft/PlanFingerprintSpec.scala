@@ -47,8 +47,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
     val current: Seq[(String, String)] =
       try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // execute through a frame we keep: the AQE plan finalizes in
-        // place and the fingerprint reads the plan that actually ran
-        val counted = fn(spark, dir).groupBy().count()
+        // place and the fingerprint reads the plan that actually ran.
+        // Bench.consumed forces EVERY column — a bare count lets the
+        // optimizer prune whole subtrees out of the pinned plan.
+        val counted = Bench.consumed(fn(spark, dir))
         counted.collect()
         val fp = Bench.planFingerprint(counted)
         plans(name) = Bench.normalizedPlan(counted)
@@ -77,24 +79,40 @@ class PlanFingerprintSpec extends AnyFunSuite {
     } else {
       val snap = Files.readAllLines(snapshotPath).asScala
         .filter(_.nonEmpty).map(_.split(" ", 2)).map(a => a(0) -> a(1)).toMap
-      // one retry for mismatches: a fingerprint observed ONCE and never
-      // again (seen exactly once during r5 on mm_features) is a
-      // transient, not a plan change — re-execute just the disagreeing
-      // queries and fail only what disagrees twice in a row
+      // Re-run every mismatching query once and compare BOTH ways:
+      //  - run2 != snapshot  → a (possibly new) plan: report as changed;
+      //  - run2 != run1      → the SAME query produced two different
+      //    fingerprints in one JVM — that is a genuinely BISTABLE plan
+      //    (an AQE strategy race or a normalizer gap, the exact bug
+      //    class commit e67305d fixed), which a retry-matches-snapshot
+      //    policy would have laundered into a transient info() ~half
+      //    the time. Both failure modes fail the spec and dump plans.
       val firstPass = current.filter { case (n, f) => snap.get(n).exists(_ != f) }
-      val confirmed = firstPass.filter { case (name, _) =>
-        val counted = SparkEntry.queries(name)(spark, dir).groupBy().count()
+      val rerun = firstPass.map { case (name, fp1) =>
+        val counted = Bench.consumed(SparkEntry.queries(name)(spark, dir))
         counted.collect()
         val fp2 = Bench.planFingerprint(counted)
-        plans(name) = Bench.normalizedPlan(counted)
+        val plan2 = Bench.normalizedPlan(counted)
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        snap.get(name).exists(_ != fp2)
+        (name, fp1, fp2, plan2)
       }
-      if (firstPass.nonEmpty && confirmed.isEmpty)
-        info(s"transient fingerprint(s) on ${firstPass.map(_._1).mkString(", ")}: " +
-          "retry matched the snapshot")
+      val bistable = rerun.collect { case (n, fp1, fp2, plan2) if fp1 != fp2 =>
+        val dump = Paths.get("target/plan_drift")
+        Files.createDirectories(dump)
+        Files.writeString(dump.resolve(s"${n}_run1.txt"), plans(n))
+        Files.writeString(dump.resolve(s"${n}_run2.txt"), plan2)
+        s"$n: $fp1 vs $fp2 (plans in target/plan_drift)"
+      }
+      val confirmed = rerun.collect {
+        case (n, _, fp2, plan2) if snap.get(n).exists(_ != fp2) =>
+          plans(n) = plan2
+          n -> fp2
+      }
+      assert(bistable.isEmpty,
+        s"NONDETERMINISTIC plan fingerprints (two runs, one JVM, " +
+          s"different plans): ${bistable.mkString("; ")}")
       val changed = confirmed.map { case (n, f) => s"$n: ${snap(n)} -> $f" }
       // diagnostics: the fingerprint alone can't be diffed — dump the
       // drifted queries' normalized plans for comparison against a

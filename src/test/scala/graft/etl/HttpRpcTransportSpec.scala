@@ -59,6 +59,33 @@ class HttpRpcTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("an interrupt mid-send cancels instead of retrying, flag restored") {
+    // a server that never responds: send blocks until the interrupt
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => ()) // never answer
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      @volatile var thrown: Throwable = null
+      @volatile var flagRestored = false
+      val t = new Thread(() => {
+        try new ExtractClient(new HttpRpcTransport(url)).fetchWithBackoff(1L)
+        catch { case e: Throwable =>
+          thrown = e
+          flagRestored = Thread.currentThread().isInterrupted
+        }
+      })
+      t.start()
+      Thread.sleep(300) // let send() block on the silent server
+      t.interrupt()
+      t.join(10000)
+      assert(!t.isAlive, "walker thread did not stop on interrupt")
+      assert(thrown != null && thrown.isInstanceOf[InterruptedException],
+        s"expected InterruptedException to cancel the walk, got $thrown")
+      assert(flagRestored, "thread interrupt status was not restored")
+    } finally server.stop(0)
+  }
+
   test("composes with ExtractClient: -32004 then success retries through backoff") {
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val ok = """{"jsonrpc":"2.0","result":{"blockhash":"x"},"id":1}"""

@@ -36,7 +36,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .select(transform(col("embedding"), _.cast("double")).as("v"))
       .head().getSeq[Double](0).toArray
     val probe = Similarity
-      .annProbe(spark, indexPath, "vec_id", queryVec, k = 10,
+      .annProbe(spark, indexPath, "vec_id", queryVec, k = 10, dim = 64,
         bands = bands, planesPerBand = planesPerBand, excludeId = Some(0L))
 
     // 1. the partition predicate reaches the file listing
