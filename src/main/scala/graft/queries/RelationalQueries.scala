@@ -335,22 +335,38 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(asc_nulls_first("status"), asc_nulls_first("yr"))
 
-  /** One-pass table profile: row count, per-column distincts and
-    * ranges — the data-quality survey every pipeline runs first. */
-  def profileTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("o_custkey")).as("ndv_custkey"),
-        countDistinct(col("o_orderstatus")).as("ndv_status"),
-        countDistinct(col("o_orderpriority")).as("ndv_priority"),
-        // count(CASE), not sum(CASE): DuckDB's sum over ints is HUGEINT
-        // (→ float64 in pandas → driver hash flip); count is BIGINT in
-        // both engines
+  /** Table profile: row count, per-column distincts and ranges — the
+    * data-quality survey every pipeline runs first. The ndv counts are
+    * SEPARATE single-distinct aggregates composed as broadcast 1-row
+    * joins, not one multi-distinct agg: Spark rewrites n>1 distinct
+    * aggregates into an Expand that multiplies every input row
+    * (n+1)× into the first hash aggregate AND numbers the distinct
+    * groups by hash-map iteration order over exprId-bearing keys —
+    * nondeterministic across sessions, so the executed plan itself
+    * permutes run-to-run (the one plan flip the r5 driver bench saw).
+    * The split form reads a column-pruned scan per ndv, partial-
+    * aggregates each to one row, and joins single rows: deterministic
+    * plan, no row multiplication, strictly less shuffle at scale.
+    * count(CASE), not sum(CASE): DuckDB's sum over ints is HUGEINT
+    * (→ float64 in pandas → driver hash flip); count is BIGINT in
+    * both engines. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def ndv(c: String, as: String): DataFrame =
+      o.agg(countDistinct(col(c)).as(as))
+    o.agg(count(lit(1)).as("n_rows"),
         count(when(col("o_orderpriority").isNull, lit(1))).as("null_priorities"),
         round(min(col("o_totalprice")), 4).as("min_price"),
         round(max(col("o_totalprice")), 4).as("max_price"),
         min(col("o_orderdate")).as("first_date"),
         max(col("o_orderdate")).as("last_date"))
+      .crossJoin(broadcast(ndv("o_custkey", "ndv_custkey")))
+      .crossJoin(broadcast(ndv("o_orderstatus", "ndv_status")))
+      .crossJoin(broadcast(ndv("o_orderpriority", "ndv_priority")))
+      .select(col("n_rows"), col("ndv_custkey"), col("ndv_status"),
+        col("ndv_priority"), col("null_priorities"), col("min_price"),
+        col("max_price"), col("first_date"), col("last_date"))
+  }
 
   /** Latest record per key (compaction / upsert-resolution shape):
     * one keyed aggregation, deterministic (ts, id) tie-break. */
