@@ -120,6 +120,136 @@ case class HyperplaneCodeD(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/**
+ * Product-quantization encode, all subspaces in ONE codegen'd pass:
+ * the vector is split into `m` contiguous subvectors of `subDim`
+ * dims; each is assigned its nearest (L2) centroid out of `ksub`
+ * from that subspace's codebook, and the `m` centroid ids — each
+ * `log2(ksub)` bits — pack into a single LONG. With the library
+ * defaults (m=16, ksub=16) a 64-dim float vector compresses to one
+ * 8-byte code: the compressed-domain scan unit of `Similarity.pqAnn`.
+ * The codebook is a model parameter (driver-trained) carried as a
+ * flat `double[]` reference object, laid out [sub][centroid][dim].
+ */
+case class PqEncodeL(child: Expression, codebook: Array[Double],
+    m: Int, ksub: Int, subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode_l"
+  private val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cOff = (s * ksub + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = v.getDouble(off + i) - codebook(cOff + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= best.toLong << (s * bits)
+      s += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val code = ctx.freshName("code")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val off = ctx.freshName("off")
+      val cOff = ctx.freshName("cOff")
+      s"""
+        long $code = 0L;
+        for (int $s = 0; $s < $m; $s++) {
+          int $off = $s * $subDim;
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $ksub; $c++) {
+            int $cOff = ($s * $ksub + $c) * $subDim;
+            double $d = 0.0;
+            for (int $i = 0; $i < $subDim; $i++) {
+              double $x = $v.getDouble($off + $i) - $cbRef[$cOff + $i];
+              $d += $x * $x;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $code |= ((long) $best) << ($s * $bits);
+        }
+        ${ev.value} = $code;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric-distance lookup over a packed PQ code: the query's
+ * per-(subspace, centroid) partial inner products are precomputed
+ * driver-side into a flat LUT (`m`×`ksub` doubles — model-parameter
+ * sized), and each row's approximate inner product is `m` table
+ * lookups indexed by bit-sliced code segments — no vector math, no
+ * vector bytes read. This is the PQ scan's entire per-row cost.
+ */
+case class PqAdcD(child: Expression, lut: Array[Double],
+    m: Int, ksub: Int) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_d"
+  private val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+  private val mask = ksub - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val code = input.asInstanceOf[Long]
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      acc += lut(s * ksub + ((code >>> (s * bits)).toInt & mask))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, code => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+        double $acc = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          $acc += $lutRef[$s * $ksub + (int) (($code >>> ($s * $bits)) & $mask)];
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -136,5 +266,25 @@ object VectorFunctions {
     ColumnBridge.column(HyperplaneCodeD(
       ColumnBridge.expression(v.cast("array<double>")),
       planes.flatten, planes.length))
+  }
+
+  /** Codegen'd PQ encode to one packed long; `codebook` is flat
+    * [sub][centroid][dim], `ksub` must be a power of two with
+    * m·log2(ksub) ≤ 64. */
+  def pqEncode(v: Column, codebook: Array[Double], m: Int, ksub: Int,
+      subDim: Int): Column = {
+    require(ksub > 0 && (ksub & (ksub - 1)) == 0, "ksub must be a power of two")
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    require(m * bits <= 64, s"$m subspaces x $bits bits exceed one long")
+    require(codebook.length == m * ksub * subDim, "codebook shape mismatch")
+    ColumnBridge.column(PqEncodeL(
+      ColumnBridge.expression(v.cast("array<double>")), codebook, m, ksub, subDim))
+  }
+
+  /** Codegen'd ADC lookup: approximate inner product of the encoded
+    * row against the query LUT (flat [sub][centroid]). */
+  def pqAdc(code: Column, lut: Array[Double], m: Int, ksub: Int): Column = {
+    require(lut.length == m * ksub, "lut shape mismatch")
+    ColumnBridge.column(PqAdcD(ColumnBridge.expression(code), lut, m, ksub))
   }
 }

@@ -114,8 +114,22 @@ object Similarity {
       .select(col("band"), col("bucket"),
         greatest(lit(1L), ceil(col("bsz") / lit(maxBucketRows))).cast("int").as("g"))
     val withG = banded.join(broadcast(sizes), Seq("band", "bucket"))
+    // PIN the probe side's parallelism by the join keys, with an
+    // explicit partition count: the banded rows are bytes-tiny but
+    // each carries quadratic downstream work, so every size-based
+    // planner heuristic misjudges this join — AQE broadcasts the
+    // build side (it IS small), making join parallelism the PROBE
+    // side's inherited partitioning, i.e. the raw input's file count
+    // (a guard-sized corpus = one parquet file → the 200M-pair
+    // candidate stage observed running on 2 of 32 cores at sf1); and
+    // an un-numbered repartition would be coalesced right back by
+    // AQE's advisory size (15 MB of keys → 1 partition). A
+    // user-numbered repartition survives AQE, and (band, bucket,
+    // salt) hashing spreads salted dense buckets across tasks.
+    val par = coded.sparkSession.sparkContext.defaultParallelism
     val probe = withG.withColumn("salt",
-      pmod(xxhash64(col("id"), col("band")), col("g")).cast("int"))
+        pmod(xxhash64(col("id"), col("band")), col("g")).cast("int"))
+      .repartition(par, col("band"), col("bucket"), col("salt"))
     val build = withG.withColumn("salt",
       explode(sequence(lit(0), col("g") - 1)))
     // first-colliding-band: segment i of xor == 0 iff the pair shares
@@ -355,6 +369,226 @@ object Similarity {
     excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id))
       .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
       .select(col(idCol), col("cluster"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Product-quantization codebook, trained DRIVER-SIDE on a bounded,
+   * deterministic sample (first `trainN` rows by id): the vector is
+   * split into `m` contiguous subspaces and each gets its own
+   * `ksub`-centroid k-means (seeded Lloyd). The codebook is a model
+   * parameter — m·ksub·subDim doubles (the defaults: 16·16·4 = 1 KB)
+   * — trained on a sample because PQ codebooks converge on thousands
+   * of vectors regardless of corpus size; the corpus itself never
+   * feeds the fit. Returns the flat [sub][centroid][dim] layout
+   * `VectorFunctions.pqEncode` consumes.
+   */
+  def pqTrainLocal(samples: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 12, seed: Long = 42L): Array[Double] = {
+    require(samples.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = samples.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val out = new Array[Double](m * ksub * subDim)
+    val rng = new scala.util.Random(seed)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val subs = samples.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+      // seeded init from distinct sample positions; Lloyd with empty
+      // clusters re-seeded deterministically
+      val cents = Array.tabulate(ksub)(_ => subs(rng.nextInt(subs.length)).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < subDim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          } else {
+            cents(c) = subs(rng.nextInt(subs.length)).clone()
+          }
+          c += 1
+        }
+        it += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cents(c), 0, out, (s * ksub + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /**
+   * PQ ANN top-k — the COMPRESSED-DOMAIN scan path: vectors are
+   * L2-normalized and encoded to one packed 8-byte code each (m=16
+   * subspaces × 4 bits; `PqEncodeL`), the query's per-(subspace,
+   * centroid) partial inner products become a 256-entry LUT computed
+   * driver-side, and the scan ranks rows by `m` table lookups per row
+   * (`PqAdcD` — no vector math, and over a persisted code table, no
+   * vector BYTES: 8 bytes/row instead of 256 for a float32×64
+   * embedding, a 32× I/O cut; see `pqIndexWrite`/`pqProbe`). The top
+   * `k·refine` candidates by approximate inner product are then
+   * re-ranked by EXACT cosine — vectors fetched by id equi-join, so
+   * the expensive math touches k·refine rows, not the corpus.
+   * Approximate by construction; `knnBrute` is its oracle and the
+   * registry form self-checks recall.
+   */
+  def pqAnn(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, dim: Int, m: Int = 16, ksub: Int = 16,
+      refine: Int = 16, trainN: Int = 2048, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    // codebook: driver-trained on the first trainN ids (deterministic
+    // model fit on a bounded sample — not a corpus-sized collect)
+    val sample = vecs.orderBy(col("id")).limit(trainN)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebook = pqTrainLocal(sample, m, ksub, seed = seed)
+    // narrow code table: (id, code) longs — the scan unit
+    val codes = vecs.select(col("id"),
+      graft.functions.VectorFunctions.pqEncode(col("u"), codebook, m, ksub, subDim)
+        .as("code"))
+    // query vector + LUT: model-parameter math, driver-side
+    val q = vecs.filter(col("id") === queryId)
+      .select(col("u"), col("nrm")).head()
+    val qu = q.getSeq[Double](0).toArray
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          d += qu(s * subDim + i) * codebook((s * ksub + c) * subDim + i)
+          i += 1
+        }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    // ADC scan over codes only → top k·refine (TakeOrdered, no full
+    // sort), then exact-cosine re-rank on the fetched candidates
+    val cand = codes.filter(col("id") =!= queryId)
+      .withColumn("aip",
+        graft.functions.VectorFunctions.pqAdc(col("code"), lut, m, ksub))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val quCol = array(qu.map(lit): _*)
+    cand.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Persist the PQ index: the narrow `(id, code)` table (8 bytes of
+   * code per vector — at 100 TB of raw embeddings the code table is
+   * ~3 TB, the difference between an ANN scan reading the corpus and
+   * reading 3% of it) plus the codebook as a sibling parquet of
+   * (sub, centroid, dim, x) rows. The codebook travels with the index
+   * so `pqProbe` never retrains — encode-time and probe-time
+   * codebooks are bit-identical by construction.
+   */
+  def pqIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, m: Int = 16, ksub: Int = 16,
+      trainN: Int = 2048, seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val sample = vecs.orderBy(col("id")).limit(trainN)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebook = pqTrainLocal(sample, m, ksub, seed = seed)
+    vecs.select(col("id"),
+        graft.functions.VectorFunctions.pqEncode(col("u"), codebook, m, ksub, subDim)
+          .as("code"))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (x, i) =>
+      (i / (ksub * subDim), (i / subDim) % ksub, i % subDim, x)
+    }.toSeq.toDF("sub", "centroid", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
+  }
+
+  private def codebookPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_codebook"
+
+  /**
+   * Probe the persisted PQ index: codebook loads driver-side (1 KB of
+   * model parameters), the LUT is computed locally, and the scan
+   * touches ONLY the `(id, code)` table — `ReadSchema` in the plan
+   * shows two long columns, no embedding bytes (PqIndexSpec pins
+   * this). Exact re-rank fetches the top `k·refine` candidates'
+   * vectors from `vecsDf` by id equi-join.
+   */
+  def pqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecsDf: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, m: Int = 16, ksub: Int = 16,
+      refine: Int = 16, excludeId: Option[Long] = None): DataFrame = {
+    val cb = spark.read.parquet(codebookPath(path)).collect()
+    val subDim = cb.map(_.getInt(2)).max + 1
+    val codebook = new Array[Double](m * ksub * subDim)
+    cb.foreach { r =>
+      codebook((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    val qu = queryVec.map(_ / qnrm)
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          d += qu(s * subDim + i) * codebook((s * ksub + c) * subDim + i)
+          i += 1
+        }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    val codes = spark.read.parquet(path)
+    val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
+      .withColumn("aip",
+        graft.functions.VectorFunctions.pqAdc(col("code"), lut, m, ksub))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val vecs = withNorm(vecsDf, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val quCol = array(qu.map(lit): _*)
+    scanned.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -86,14 +86,35 @@ object EtlQueries {
     def value(status: String) =
       round(sum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(0.0)), 4)
         .as(s"value_${status.toLowerCase}")
-    def custs(status: String) =
-      countDistinct(when(col("o_orderstatus") === status, col("o_custkey"))).as(s"custs_${status.toLowerCase}")
-    ord.groupBy(col("month"))
+    val base = ord.groupBy(col("month"))
       .agg(count(lit(1)).as("n_orders"),
-        cnt("O"), value("O"), custs("O"),
-        cnt("F"), value("F"), custs("F"),
-        cnt("P"), value("P"), custs("P"),
+        cnt("O"), value("O"),
+        cnt("F"), value("F"),
+        cnt("P"), value("P"),
         count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("n_urgent"))
+    // distinct customers per (month, status) WITHOUT the multi-distinct
+    // aggregate rewrite: three countDistinct(when(status, custkey)) in
+    // one agg go through RewriteDistinctAggregates, whose hash-map
+    // group numbering permutes across sessions (the same bistable-plan
+    // class profileTable hit — caught by PlanFingerprintSpec's
+    // two-run check). One (month, status, custkey) dedup + plain
+    // conditional counts computes the same thing deterministically,
+    // and replaces the 4× Expand row multiplication with a single
+    // narrow pre-aggregation.
+    val custs = ord
+      .select(col("month"), col("o_orderstatus"), col("o_custkey"))
+      .distinct()
+      .groupBy(col("month"))
+      .agg(
+        count(when(col("o_orderstatus") === "O", lit(1))).as("custs_o"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("custs_f"),
+        count(when(col("o_orderstatus") === "P", lit(1))).as("custs_p"))
+    base.join(custs, Seq("month"))
+      .select(col("month"), col("n_orders"),
+        col("n_o"), col("value_o"), col("custs_o"),
+        col("n_f"), col("value_f"), col("custs_f"),
+        col("n_p"), col("value_p"), col("custs_p"),
+        col("n_urgent"))
       .orderBy(col("month"))
   }
 

@@ -210,6 +210,13 @@ object TrainingDataQueries {
         Similarity.ivfAnn(Tables.embeddings(s, d), "vec_id", "embedding",
           queryId = 0L, k = 10, nCentroids = 16, nProbe = 8),
         Seq("vec_id"), floor = 0.5, nAlias = "k")),
+    "pq_ann" -> ((s, d) =>
+      recallChecked(
+        Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10),
+        Similarity.pqAnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, dim = 64, m = 16, ksub = 16, refine = 16),
+        Seq("vec_id"), floor = 0.7, nAlias = "k")),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>
@@ -293,6 +300,8 @@ object TrainingDataQueries {
     "ann_lsh" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "ivf_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
+    "pq_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (
