@@ -280,15 +280,32 @@ object EtlQueries {
     // slower per-round at 5 iterations).
     val iterations = 5
     val checkpointEvery = 8
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    // Join-strategy determinism: every node×node join here has BOTH
+    // sides under the broadcast threshold at test SF, so AQE picks the
+    // build side by whichever query stage materializes first — a
+    // genuine run-to-run plan flip (BuildLeft ↔ BuildRight, caught by
+    // the bench fingerprints). The `shuffle_hash` hint pins both the
+    // strategy and the build side (the hinted relation builds), and is
+    // the shape these joins need at corpus scale anyway (node-sized
+    // relations are never broadcastable; hash beats merge here — no
+    // per-iteration sorts of the rank/edge tables).
+    // The out-degree join is LOOP-INVARIANT, so ranks carries `odeg`
+    // as a column from the start instead of re-joining per iteration —
+    // one join replaces `iterations` of them.
+    var ranks = nodes
+      .join(outdeg.withColumnRenamed("src", "node").hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"), lit(1.0).as("rank"),
+        coalesce(col("odeg"), lit(0L)).as("odeg"))
     for (i <- 1 to iterations) {
       val contrib = ranks.withColumnRenamed("node", "src")
-        .join(outdeg, "src").join(edges, "src")
+        .join(edges.hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("odeg")).as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = ranks.drop("rank").join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
-          (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+          (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"),
+          col("odeg"))
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = false)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))

@@ -59,9 +59,18 @@ object TrainingDataQueries {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
-    val sizes = labeled.groupBy(col("component"))
-      .agg(count(lit(1)).as("comp_size"))
-    labeled.join(sizes, "component")
+    // component size via a window aggregate, not a groupBy + self-join:
+    // the join form had BOTH sides under the broadcast threshold at
+    // test SF, and AQE picks the build side by whichever query stage
+    // materializes first — a genuine run-to-run plan flip (BuildLeft ↔
+    // BuildRight, caught by the bench fingerprints). The window form
+    // is deterministic AND scale-correct: singleton docs make the size
+    // table document-sized (never broadcastable), while the window
+    // reuses the one hash shuffle on `component` the groupBy needed
+    // anyway and drops the join entirely.
+    labeled
+      .withColumn("comp_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
       .select(col("doc_id"), col("component"), col("comp_size"))
       .orderBy(col("doc_id"))
   }
