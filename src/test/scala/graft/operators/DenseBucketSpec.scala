@@ -79,4 +79,22 @@ class DenseBucketSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(run(16).toSeq == run(1 << 30).toSeq)
   }
+
+  test("candidate-join parallelism is pinned, not inherited from the input") {
+    // the banded rows are bytes-tiny, so AQE broadcasts the build side
+    // and join task count falls back to the probe side's partitioning —
+    // for a single-file corpus that was 1-2 tasks carrying the whole
+    // quadratic stage (observed at sf1: 200M pairs on 2 of 32 cores).
+    // The probe side must therefore carry an explicit user-numbered
+    // repartition on (band, bucket, salt), which AQE cannot coalesce.
+    val pairs = Similarity.bandedHalfPairs(coded(fixture.coalesce(1)),
+      bands, planes, maxBucketRows = 16)
+    val logical = pairs.queryExecution.optimizedPlan.toString
+    assert(logical.contains("RepartitionByExpression [band"),
+      s"no pinned repartition of the candidate probe side:\n$logical")
+    pairs.collect()
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(physical.contains("REPARTITION_BY_NUM"),
+      s"repartition is not user-numbered (AQE may coalesce it):\n$physical")
+  }
 }
