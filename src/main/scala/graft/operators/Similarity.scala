@@ -162,12 +162,14 @@ object Similarity {
    * bands = more candidate buckets per item); `knnJoin` is its exact
    * oracle, and the recall spec pins the floor at test SF.
    *
-   * SIZE `planesPerBand` TO THE CORPUS: each band has 2^planesPerBand
-   * buckets — at n rows expect n/2^p vectors per bucket, so pick p
-   * with 2^p ≳ n / desired_bucket_size; `maxBucketRows` salting keeps
-   * dense buckets parallel, but candidate COUNT still grows with
-   * bucket size². More planes per band lowers recall per band —
-   * compensate with more bands.
+   * SIZE `planesPerBand` TO THE CORPUS — `bandGeometry(n)` computes
+   * it (2^p ≳ n / bucket target, remaining code budget on bands) and
+   * `expectedRecall(cos, bands, planes)` checks the recall side;
+   * `maxBucketRows` salting keeps dense buckets parallel, but
+   * candidate COUNT still grows with bucket size². Measured at sf1
+   * (SURVEY §6 r6): corpus-sized 8×8 runs 0.05× of the exact join
+   * with recall 1.0; the test-SF 16×4 admits ~64% of all pairs and
+   * manages only 0.76×.
    */
   def knnJoinBlocked(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, bands: Int = 16, planesPerBand: Int = 4,
@@ -371,6 +373,41 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * Auto-size the hyperplane band geometry to a corpus: pick
+   * planesPerBand so a band's bucket count ~covers the corpus at
+   * `targetBucketRows` rows per bucket (2^p ≥ n / target), then spend
+   * the rest of the 64-bit code budget on bands (more bands = more
+   * chances to collide = higher recall). The r6 sf1 measurements
+   * behind this: at 20k vectors the test-SF default 16×4 admits ~64%
+   * of ALL pairs as candidates (1−(15/16)¹⁶) and the blocked join
+   * only reached 0.76× of brute force, while corpus-sized 8×8 pruned
+   * to ~3% and ran 0.05× with recall 1.0. Pair recall at a target
+   * cosine is `expectedRecall` — check it for YOUR threshold: low
+   * thresholds (τ≈0.4) genuinely need wide-band geometry (the LSH
+   * S-curve), which is why this is a helper, not a hidden default.
+   * Beyond ~16 planes/band the one-long code budget is exhausted —
+   * at billions of rows per bucket-set, split the corpus or widen
+   * the code.
+   */
+  def bandGeometry(n: Long, targetBucketRows: Int = 64): (Int, Int) = {
+    require(n > 0 && targetBucketRows > 0)
+    val needed = math.max(1.0, n.toDouble / targetBucketRows)
+    val p = math.min(16, math.max(2,
+      math.ceil(math.log(needed) / math.log(2)).toInt))
+    (64 / p, p)
+  }
+
+  /** Probability that a pair at cosine `cos` shares ≥1 band bucket
+    * under random-hyperplane LSH: per-bit agreement is
+    * 1 − θ/π (θ = arccos cos), a band of `planes` bits agrees with
+    * that to the `planes`-th power, and `bands` independent chances
+    * complement-multiply. The analytical form of RecallSpec's floor. */
+  def expectedRecall(cos: Double, bands: Int, planes: Int): Double = {
+    val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pBit, planes), bands)
   }
 
   /**
