@@ -53,6 +53,70 @@ object Curation {
   }
 
   /**
+   * Bloom-prefiltered decontamination — same contract as
+   * [[decontaminate]], for the regime where the eval-shingle set is
+   * too large to broadcast as an exact hash relation. A Bloom filter
+   * at 1% fpp is ~1.2 bytes/item versus 8-byte hash longs plus
+   * hash-set overhead (~10× smaller), so the corpus-side scan probes a
+   * compact bitmap and only the ~fpp fraction of non-matching shingles
+   * (plus true hits) reach the exact-confirm join. Bloom filters have
+   * NO false negatives, so with the confirm join the result is
+   * bit-identical to the exact operator — the registry form asserts
+   * exactly that.
+   *
+   * Mechanics: the filter is built by the native partial-aggregating
+   * `BloomFilterAggregate` (each task folds its shingles locally; only
+   * filter bitmaps shuffle), collected once as model parameters
+   * (`numBits/8` bytes), and re-enters the plan as a foldable binary
+   * literal probed by the codegen'd `BloomFilterMightContain` — the
+   * same expression pair Spark's runtime-filter rule injects, driven
+   * here explicitly. Shingles are already xxhash64 longs
+   * (Dedup.shingleHashes), so no extra hashing layer is needed on
+   * either side.
+   */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val evalShingles = Dedup.shingleHashes(eval, idCol, textCol, n)
+      .select(col("s")).distinct()
+    val numBits = BloomFilter.optimalNumOfBits(expectedEvalShingles, fpp)
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(col("s")),
+        Literal(expectedEvalShingles), Literal(numBits))
+      .toAggregateExpression())
+    // one row of numBits/8 bytes — model parameters, like IVF centroids
+    val bloomBytes = evalShingles.agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col("s"))))
+    val candidates = Dedup.shingleHashes(train, idCol, textCol, n)
+      .filter(mightContain)
+    // exact confirm kills the fpp false positives. The join is pinned
+    // shuffle-hash building the eval side: broadcasting would re-import
+    // the "eval fits in one executor" assumption this operator exists
+    // to drop, and an unhinted smallish-vs-smallish join lets AQE pick
+    // the build side by stage-arrival order (a real plan flip). The
+    // shuffle only carries bloom survivors (~fpp · corpus + true hits)
+    // against the eval longs — both post-prune relations.
+    val shared = candidates
+      .join(evalShingles.hint("shuffle_hash"), "s")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Deterministic per-stratum quota sampling — the mixture-control
    * step that downsamples each source/domain to a target row budget.
    * Rank within each stratum by md5 of the id (a content-derived

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Reconcile
 
 /**
  * §B — the reference's ETL semantics (zuyezheng/solana-etl) re-expressed
@@ -393,7 +394,28 @@ object EtlQueries {
       .select(col("event_id"), col("route"), col("reason"), col("event_type"), col("k"))
       .orderBy(col("event_id"))
 
+  /**
+   * Snapshot reconciliation (operators/Reconcile.scala): the orders
+   * table versus a deterministically drifted copy (every 97th key
+   * deleted, every 89th key's price bumped one cent) compared by
+   * 64-bucket (count, checksum) summaries — each side scanned once
+   * with map-side partial aggregation, O(buckets) rows compared. The
+   * checksum is portable integer arithmetic (key·1000003 + cents) so
+   * the DuckDB oracle rebuilds both sides from the same base table.
+   */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).withColumn("cents",
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+    val current = base
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("cents", col("cents") +
+        when(col("o_orderkey") % 89 === 0, 1L).otherwise(0L))
+    val checksum = col("o_orderkey") * lit(1000003L) + col("cents")
+    Reconcile.diff(base, current, "o_orderkey", checksum, buckets = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff" -> tableDiff _,
     "tx_enrich" -> txEnrich _,
     "transfer_extract" -> transferExtract _,
     "block_metrics" -> blockMetrics _,
@@ -410,6 +432,30 @@ object EtlQueries {
     "error_split" -> errorSplit _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey,
+        |    cents + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM b WHERE o_orderkey % 97 <> 0),
+        |sb AS (SELECT o_orderkey % 64 AS bucket, count(*) AS n,
+        |         CAST(sum(o_orderkey * 1000003 + cents) AS BIGINT) AS checksum
+        |       FROM b GROUP BY 1),
+        |sc AS (SELECT o_orderkey % 64 AS bucket, count(*) AS n,
+        |         CAST(sum(o_orderkey * 1000003 + cents) AS BIGINT) AS checksum
+        |       FROM c GROUP BY 1)
+        |SELECT sb.bucket,
+        |  sb.n AS base_n, coalesce(sc.n, 0) AS cur_n,
+        |  sb.checksum AS base_checksum,
+        |  coalesce(sc.checksum, 0) AS cur_checksum,
+        |  CASE WHEN sb.n <> coalesce(sc.n, 0) THEN 'rows'
+        |       ELSE 'content' END AS diff_kind
+        |FROM sb LEFT JOIN sc USING (bucket)
+        |WHERE sb.n <> coalesce(sc.n, 0)
+        |   OR sb.checksum <> coalesce(sc.checksum, 0)
+        |ORDER BY sb.bucket""".stripMargin,
     "tx_enrich" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | count(l_partkey) AS num_items,

@@ -164,6 +164,78 @@ object RelationalQueries {
           col("exact_users") * 0.05).as("within_bound"))
       .orderBy(col("event_type"))
 
+  /**
+   * Incremental distinct-count maintenance with mergeable HLL
+   * sketches — the distinct-count analogue of q_incr_agg: per-epoch
+   * `hll_sketch_agg` partials (here a base and a delta epoch) merged
+   * by `hll_union_agg`, proving estimate(merge(sk(base), sk(delta)))
+   * tracks the exact distinct over all data. countDistinct is NOT
+   * decomposable (partials can't merge), so at 100 TB the sketch
+   * union is the only way to maintain a distinct count without
+   * re-scanning history; the registry form self-checks the merged
+   * estimate against the exact count (lgK=12 → ~1.6% RSE; bound 5%).
+   *
+   * The tiny final join is explicitly broadcast-hinted on the merged
+   * side: both inputs are group-cardinality-sized, and an unhinted
+   * tiny-vs-tiny join lets AQE pick the build side by stage-arrival
+   * order (the dedup_components plan-flip class).
+   */
+  def incrDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    def sketch(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = sketch(e.filter(col("ts") < cutoff))
+      .unionByName(sketch(e.filter(col("ts") >= cutoff)))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+    exact.join(broadcast(merged), "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("est_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.05, lit(2L))).as("within_bound"),
+        (col("exact_users") > 0).as("nonempty"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Heavy hitters with a mergeable Count-Min sketch: per-epoch
+   * `count_min_sketch` partials (split on l_orderkey parity) merged
+   * driver-side (operators/Sketches.scala — the sketch is the model
+   * artifact, ~110 KB at ε=5e-4, depth 5), then the exact top-10
+   * suppliers' estimates are checked against the CMS guarantee
+   * exact ≤ est ≤ exact + ε·N. The exact side is one partial-agg
+   * groupBy + TakeOrdered top-k (no global sort); the two bounded
+   * driver reads are the candidate keys (k=10) and the sketch blobs.
+   */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 5e-4
+    val li = Tables.lineitem(spark, dir)
+    val partials = li
+      .groupBy((col("l_orderkey") % 2).as("epoch"))
+      .agg(count_min_sketch(col("l_suppkey"),
+        lit(eps), lit(0.99), lit(42)).as("sk"))
+      .collect().map(_.getAs[Array[Byte]]("sk")).toSeq
+    val exactTop = li.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("suppkey")).limit(10)
+    val keys = exactTop.select(col("suppkey"))
+      .collect().map(_.getLong(0)).toSeq
+    val n = li.count() // parquet metadata count
+    val est = graft.operators.Sketches.cmsEstimates(partials, keys)
+    val estDf = spark.createDataFrame(
+      est.toSeq.map { case (k, v) => (k, v) }).toDF("suppkey", "est_cnt")
+    exactTop.join(broadcast(estDf), "suppkey")
+      .select(col("suppkey"), col("cnt"),
+        (col("est_cnt") >= col("cnt") &&
+          col("est_cnt") <= col("cnt") + lit((eps * n).toLong + 1L))
+          .as("within_bound"),
+        (col("cnt") > 0).as("nonempty"))
+      .orderBy(col("cnt").desc, col("suppkey"))
+  }
+
   /** Approximate percentiles (Greenwald-Khanna sketch) next to exact —
     * the mergeable scale path for quantiles, with its error visible
     * against the exact answer. Same self-checking split as
@@ -518,6 +590,8 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_profile" -> skewProfile _,
     "q_incr_agg" -> incrAgg _,
+    "q_incr_distinct" -> incrDistinct _,
+    "q_heavy_hitters" -> heavyHitters _,
     "q_retention" -> retention _,
     "dq_check" -> dqCheck _,
     "q_upsert_merge" -> upsertMerge _,
@@ -554,6 +628,16 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | count(*) AS n_events, TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incr_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n_events, TRUE AS within_bound,
+        | count(DISTINCT user_id) > 0 AS nonempty
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT l_suppkey AS suppkey, count(*) AS cnt,
+        | TRUE AS within_bound, count(*) > 0 AS nonempty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY cnt DESC, suppkey LIMIT 10""".stripMargin,
     "q_approx_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsOf
+import graft.operators.{AsOf, Scd}
 
 /** §G temporal — as-of join bound to the orders history. */
 object TemporalQueries {
@@ -38,9 +38,25 @@ object TemporalQueries {
       .orderBy(col("e1"), col("e2"))
   }
 
+  /**
+   * SCD Type-2 build over the event log: each user's `event_type`
+   * history collapsed to validity intervals (operators/Scd.scala).
+   * Timestamps surface as epoch-µs longs so the oracle compare is
+   * integer-exact.
+   */
+  def scd2EventType(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2(Tables.events(spark, dir), "user_id", "event_type",
+        "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("effective_from")).as("from_us"),
+        unix_micros(col("effective_to")).as("to_us"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("from_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofPrevOrder _,
-    "range_join" -> eventPairsWithin _)
+    "range_join" -> eventPairsWithin _,
+    "q_scd2" -> scd2EventType _)
 
   val oracleSql: Map[String, String] = Map(
     "asof_join" ->
@@ -58,5 +74,22 @@ object TemporalQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         | AND a.event_id <> b.event_id
-        |ORDER BY e1, e2""".stripMargin)
+        |ORDER BY e1, e2""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev_attr,
+        |    lag(1) OVER w AS has_prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE has_prev IS NULL OR prev_attr IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(ts) AS from_us,
+        |  epoch_us(lead(ts) OVER w2) AS to_us,
+        |  (lead(ts) OVER w2) IS NULL AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, from_us""".stripMargin)
 }

@@ -171,6 +171,36 @@ object TrainingDataQueries {
         (coalesce(col("nx"), lit(0L)) > 0).as("nonempty"))
   }
 
+  /**
+   * Self-checking form of `Curation.decontaminateBloom`: Bloom filters
+   * have no false negatives and the operator exact-confirms its
+   * candidates, so its output must be BIT-IDENTICAL to the exact
+   * broadcast decontaminate — this query runs both and folds per-doc
+   * equality into one oracle-asserted row. The comparison is a
+   * union+re-aggregate on doc_id, not a join: both sides are
+   * doc-count-sized and an unhinted tiny join races AQE's build-side
+   * choice (the dedup_components flip class).
+   */
+  def decontaminateBloomChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Curation.decontaminate(train, eval, "doc_id", "text", n = 5)
+    val bloom = Curation.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 5, expectedEvalShingles = 100000L, fpp = 0.01)
+    exact.select(col("doc_id"), col("n_shared").as("v"), lit("e").as("side"))
+      .unionByName(bloom.select(col("doc_id"), col("n_shared").as("v"),
+        lit("b").as("side")))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("side") === "e", col("v"))).as("ev"),
+        max(when(col("side") === "b", col("v"))).as("bv"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("ev") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        (sum(when(col("ev") <=> col("bv"), 0L).otherwise(1L)) === 0)
+          .as("sets_equal"),
+        (sum(when(col("ev") > 0, 1L).otherwise(0L)) > 0).as("nonempty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
@@ -258,6 +288,7 @@ object TrainingDataQueries {
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 5)
     }),
+    "decontaminate_bloom" -> (decontaminateBloomChecked _),
     "corpus_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
         quota = 10)),
@@ -532,6 +563,21 @@ object TrainingDataQueries {
         | array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text
         |FROM w, unnest(range(0, (len(ws) - 1) // 40 + 1)) t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS doc,
+        |         array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc % 20 = 0),
+        |hits AS (SELECT doc, count(*) AS n_shared
+        |         FROM sh JOIN ev USING (s) WHERE doc % 20 <> 0 GROUP BY 1)
+        |SELECT count(*) AS n_train_docs,
+        | count(CASE WHEN h.n_shared > 0 THEN 1 END) AS n_contaminated,
+        | TRUE AS sets_equal,
+        | count(CASE WHEN h.n_shared > 0 THEN 1 END) > 0 AS nonempty
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
