@@ -116,7 +116,13 @@ object TextAnalysis {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+    // pinned shuffle-hash building dfreq: vocabulary is unbounded at
+    // corpus scale (never broadcast-honest), and at mid SFs its size
+    // estimate straddles the broadcast threshold so AQE flips
+    // broadcast↔sort-merge run-to-run (observed at the 10× sweep).
+    // dfreq arrives term-partitioned from its own aggregation, so the
+    // hash join reuses that shuffle and never sorts the doc×term side.
+    val scored = tf.join(dfreq.hint("shuffle_hash"), "term")
       .withColumn("score_ppm", expr("(tf * 1000000) div df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

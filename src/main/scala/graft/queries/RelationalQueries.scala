@@ -241,20 +241,27 @@ object RelationalQueries {
     * against the exact answer. Same self-checking split as
     * q_approx_distinct: raw form for the accuracy spec, oracle-checked
     * bound column in the registry. */
-  def approxPercentileRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def approxPercentileRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"),
-        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("exact"),
         count(lit(1)).as("n_rows"))
+    // exact sibling via distributed order statistics (see percentiles);
+    // group-cardinality-sized, so the final join broadcast-pins it
+    val exact = graft.operators.Quantiles.exactPercentilesByGroup(
+      li, "l_returnflag", "l_extendedprice",
+      tieCols = Seq("l_orderkey", "l_linenumber"),
+      quantiles = Seq("exact_p50" -> 0.5, "exact_p99" -> 0.99))
+    approx.join(broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"),
         round(element_at(col("approx"), 1), 4).as("approx_p50"),
         round(element_at(col("approx"), 2), 4).as("approx_p99"),
-        round(element_at(col("exact"), 1), 4).as("exact_p50"),
-        round(element_at(col("exact"), 2), 4).as("exact_p99"),
+        round(col("exact_p50"), 4).as("exact_p50"),
+        round(col("exact_p99"), 4).as("exact_p99"),
         col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     approxPercentileRaw(spark, dir)
@@ -326,14 +333,21 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group — distributed order
+    * statistics (operators/Quantiles.scala), NOT the `percentile()`
+    * aggregate: that one buffers a group's every value in one
+    * aggregation buffer, which with few groups at 100 TB parks whole
+    * columns on single executors. Same answer, partition-bounded
+    * memory. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    graft.operators.Quantiles.exactPercentilesByGroup(
+        Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"),
+        quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
   /** Full-outer join: per-nation customer vs supplier census — both
