@@ -178,28 +178,28 @@ object Curation {
    *
    * The global exclusive prefix sum is computed WITHOUT a
    * single-partition sort (the same pattern as q_ntile_spread):
-   * range-partition by id, per-partition token totals — one row per
-   * partition, constant-sized — cumulated and broadcast back as
-   * offsets, then a partition-local running sum on top. Every
-   * data-sized stage runs at full parallelism; the checkpoint pins
-   * partition ids so the offsets branch and the running-sum branch
-   * observe the same range partitioning.
+   * deterministic range-slice ids from driver-sampled literal bounds
+   * on id (operators/RangeSlice.scala), per-slice token totals — one
+   * row per slice, constant-sized — cumulated and broadcast back as
+   * offsets, then a slice-local running sum on top. Every data-sized
+   * stage runs at full parallelism, and because the slice id is a pure
+   * function of the row both plan branches recompute the SAME slicing:
+   * no pinned partition ids, no checkpoint, recompute-safe.
    */
   def sequencePack(df: DataFrame, idCol: String, tokCol: String,
       capacity: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = df.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
-      .repartitionByRange(parts, col(idCol))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val wOff = Window.orderBy(col("pid"))
+    val base0 = df.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
+    val sliceId = RangeSlice.sliceExpr(base0, Seq(col(idCol)), parts)
+    val base = base0.withColumn("sid", sliceId)
+    val wOff = Window.orderBy(col("sid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("pid")).agg(sum(col("n_tokens")).as("toks"))
+    val offsets = base.groupBy(col("sid")).agg(sum(col("n_tokens")).as("toks"))
       .withColumn("off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col(idCol))
+      .select(col("sid"), col("off"))
+    val wLocal = Window.partitionBy(col("sid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), "pid")
+    base.join(broadcast(offsets), "sid")
       .withColumn("token_start",
         col("off") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
       // an empty doc occupies no tokens: its "last token" is its start

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
  * interpolated order statistics with nothing larger than a partition
  * ever resident:
  *
- *  1. range-partition rows by (group, value, ties) — Spark samples
- *     range bounds, so partitions are balanced regardless of group
- *     skew and a group may span many partitions;
- *  2. global rank within each group = per-(partition, group) counts
- *     (a partitions×groups-sized aggregate) cumulated into offsets +
- *     a partition-local row_number — the seq_pack/q_ntile_spread
+ *  1. assign each row a DETERMINISTIC range-slice id from
+ *     driver-sampled literal bounds on (group, value) — see
+ *     [[RangeSlice]]. The id is a pure function of the row, so every
+ *     plan branch recomputes the SAME slicing: no pinned partition
+ *     ids, no checkpoint, no full-table materialization, and executor
+ *     loss just recomputes (fault-tolerant at 1000 executors);
+ *  2. global rank within each group = per-(slice, group) counts
+ *     (a slices×groups-sized aggregate) cumulated into offsets +
+ *     a slice-local row_number — the seq_pack/q_ntile_spread
  *     prefix-sum pattern, no single-partition sort anywhere;
  *  3. each quantile q needs only ranks ⌊(n−1)q⌋+1 and ⌈(n−1)q⌉+1:
  *     a broadcast join on the group key + a residual rank predicate
@@ -26,7 +29,23 @@ import org.apache.spark.sql.functions._
  *     v_lo + frac·(v_hi − v_lo) happens on those.
  *
  * Semantics match `percentile()` / DuckDB `quantile_cont` (linear
- * interpolation at position (n−1)·q over the 0-indexed sorted values).
+ * interpolation at position (n−1)·q over the 0-indexed sorted values):
+ *  - NULL values are ignored (filtered before ranking, exactly as the
+ *    aggregate ignores them);
+ *  - a NULL group key is a group like any other (all joins on the
+ *    group key are null-safe);
+ *  - the one documented divergence: a group whose values are ALL null
+ *    is omitted from the output, where `percentile()` would emit the
+ *    group with a NULL percentile (keeping it would cost a distinct
+ *    over the pre-filter data for an edge case callers can left-join
+ *    back themselves).
+ *
+ * Slice bounds deliberately cover (group, value) but NOT the tie
+ * columns: rows with equal (group, value) always share a slice, so tie
+ * order never crosses a slice boundary — tie columns only make the
+ * within-slice sort total for bit-reproducible intermediates (equal
+ * values make the order statistics themselves tie-insensitive), and a
+ * NULL tie value can never scatter a group across slices.
  */
 object Quantiles {
 
@@ -44,30 +63,30 @@ object Quantiles {
       valueCol: String, tieCols: Seq[String],
       quantiles: Seq[(String, Double)]): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (name, q) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $name: q=$q outside [0, 1]")
+    }
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // checkpoint pins partition ids: the offsets branch and the ranking
-    // branch must observe the SAME range partitioning. tieCols must not
-    // be named g/v/pid (they keep their original names here).
+    // percentile() ignores NULL values; tieCols keep their original
+    // names (must not be named g/v/sid)
     val base = df
+      .filter(col(valueCol).isNotNull)
       .select((col(groupCol).as("g") +: col(valueCol).cast("double").as("v") +:
         tieCols.map(col)): _*)
+    val sliceId = RangeSlice.sliceExpr(base, Seq(col("g"), col("v")), parts)
+    val sliced = base.withColumn("sid", sliceId)
     val orderCols = col("v") +: tieCols.map(col)
-    val repartitioned = base
-      .repartitionByRange(parts, (col("g") +: orderCols): _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // partitions×groups rows: per-slice counts → per-group slice
-    // offsets; the same tiny table also yields per-group totals (ONE
-    // data-sized aggregation feeds both)
-    val wOff = Window.partitionBy(col("g")).orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sliceCounts = repartitioned.groupBy(col("pid"), col("g"))
+    // slices×groups rows: per-slice counts → per-group slice offsets;
+    // the same tiny aggregate also yields per-group totals (ONE
+    // data-sized aggregation feeds both, recomputed deterministically)
+    val sliceCounts = sliced.groupBy(col("sid"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // tiny; read by both branches below
+    val wOff = Window.partitionBy(col("g")).orderBy(col("sid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val slices = sliceCounts
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select(col("pid"), col("g"), col("off"))
+      .select(col("sid").as("s_sid"), col("g").as("s_g"), col("off"))
     // groups×quantiles rows: the two ranks each quantile needs
     val qArr = array(quantiles.map { case (n, q) =>
       struct(lit(n).as("qname"), lit(q).as("q")) }: _*)
@@ -80,16 +99,19 @@ object Quantiles {
       .withColumn("lo_rank", floor(col("pos")).cast("long") + 1)
       .withColumn("hi_rank", ceil(col("pos")).cast("long") + 1)
       .withColumn("frac", col("pos") - floor(col("pos")))
-      .select(col("g"), col("qname"), col("lo_rank"), col("hi_rank"),
-        col("frac"))
-    val wLocal = Window.partitionBy(col("pid"), col("g"))
+      .select(col("g").as("w_g"), col("qname"), col("lo_rank"),
+        col("hi_rank"), col("frac"))
+    val wLocal = Window.partitionBy(col("sid"), col("g"))
       .orderBy(orderCols: _*)
-    val ranked = repartitioned.join(broadcast(slices), Seq("pid", "g"))
+    // null-safe on g throughout: a NULL group ranks, offsets, and
+    // emits like any other (percentile() groupBy keeps the null group)
+    val ranked = sliced.join(broadcast(slices),
+        col("sid") === col("s_sid") && col("g") <=> col("s_g"))
       .withColumn("rnk", col("off") + row_number().over(wLocal))
     ranked.join(broadcast(want),
-        ranked("g") === want("g") &&
+        col("g") <=> col("w_g") &&
           (col("rnk") === col("lo_rank") || col("rnk") === col("hi_rank")))
-      .select(ranked("g"), col("qname"), col("frac"), col("v"),
+      .select(col("g"), col("qname"), col("frac"), col("v"),
         col("rnk"), col("lo_rank"), col("hi_rank"))
       .groupBy(col("g"), col("qname"), col("frac"))
       .agg(max(when(col("rnk") === col("lo_rank"), col("v"))).as("v_lo"),

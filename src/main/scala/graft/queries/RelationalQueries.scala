@@ -283,20 +283,22 @@ object RelationalQueries {
     * executor-ish at cluster scale). Same oracle as ntile(10). */
   def ntileSpread(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // checkpoint pins partition ids: the offsets branch and the ranking
-    // branch must observe the SAME range partitioning
-    val base = Tables.customer(spark, dir)
+    // deterministic slice ids from driver-sampled literal bounds
+    // (operators/RangeSlice.scala): both plan branches recompute the
+    // same slicing from row values — no pinned partition ids, no
+    // checkpoint, no full-table materialization, recompute-safe
+    val base0 = Tables.customer(spark, dir)
       .select(col("c_acctbal"), col("c_custkey"))
-      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val total = base.count() // single scalar: ntile's N (model parameter)
-    val wOff = Window.orderBy(col("pid"))
+    val sliceId = graft.operators.RangeSlice.sliceExpr(
+      base0, Seq(col("c_acctbal"), col("c_custkey")), parts)
+    val base = base0.withColumn("sid", sliceId)
+    val total = base0.count() // single scalar: ntile's N (model parameter)
+    val wOff = Window.orderBy(col("sid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = base.groupBy(col("sid")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    val wLocal = Window.partitionBy(col("pid"))
+      .select(col("sid"), col("off"))
+    val wLocal = Window.partitionBy(col("sid"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
     // ntile(10): first (N mod 10) buckets hold ceil(N/10) rows.
     // q = 0 (N < 10) is safe: bigCut = N covers every rank, so the
@@ -310,7 +312,7 @@ object RelationalQueries {
         floor((rnk - 1) / (q + lit(1))) + 1)
       .otherwise(rem + floor((rnk - lit(1) - bigCut) / q) + 1)
       .cast("long")
-    base.join(broadcast(offsets), "pid")
+    base.join(broadcast(offsets), "sid")
       .select(col("c_acctbal"), decile.as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
