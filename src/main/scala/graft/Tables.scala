@@ -24,16 +24,36 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /**
-   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-   * read natively. Read nanos as long and convert to a microsecond
-   * timestamp (integer `div`, not `/`: epoch-nanos overflow double's
-   * 53-bit mantissa). The testdata's values are µs-aligned, so this is
-   * lossless.
+   * `events.ts` has shipped under two physical parquet types across
+   * testdata generations, so the loader dispatches on the READ schema
+   * rather than assuming one:
+   *
+   *  - TIMESTAMP(NANOS): Spark 4 refuses it natively; with
+   *    `legacy.parquet.nanosAsLong` it reads as LONG epoch-nanos →
+   *    convert with integer `div` (epoch-nanos overflow double's
+   *    53-bit mantissa) to a microsecond timestamp. Lossless: the
+   *    values are µs-aligned.
+   *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ → cast
+   *    to session-local TIMESTAMP. The session timezone is pinned to
+   *    UTC everywhere in this library, so the cast is numerically an
+   *    identity and `unix_micros`/windows/watermarks agree with the
+   *    DuckDB oracle's naive-timestamp epoch functions.
+   *  - TIMESTAMP (LTZ): pass through.
    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is already a timestamp; required to read the
+    // TIMESTAMP(NANOS) generation at all
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

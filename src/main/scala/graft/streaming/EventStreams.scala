@@ -41,6 +41,20 @@ object EventStreams {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /**
+   * A Structured-Streaming read of the events table, physical-schema
+   * agnostic: the schema comes from a batch footer read (file streams
+   * require an explicit schema), and `Tables.normalizeEventTs` at the
+   * call sites dispatches nanos-as-long vs TIMESTAMP_NTZ vs TIMESTAMP
+   * exactly as the batch loader does.
+   */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** The windowed aggregation, declared once over any events relation. */
   def windowAggPlan(events: DataFrame): DataFrame =
     events
@@ -56,12 +70,8 @@ object EventStreams {
    * batch and streaming.
    */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streams need a directory source; glob-filter to the events table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(eventsStream(spark, dir))
       .withWatermark("ts", "1 hour")
     val name = s"graft_stream_window_${counter.incrementAndGet()}"
     val q = withStatePartitions(spark, 8) {
@@ -129,11 +139,7 @@ object EventStreams {
    * the watermark horizon for O(window) state.
    */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(eventsStream(spark, dir))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -159,11 +165,7 @@ object EventStreams {
    * so the batch oracle checks it exactly.
    */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.normalizeEventTs(eventsStream(spark, dir))
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))

@@ -36,9 +36,10 @@ gen('supplier', {'s_suppkey'})
 gen('part', {'p_partkey'})
 gen('orders', {'o_orderkey', 'o_custkey'})
 gen('lineitem', {'l_orderkey', 'l_partkey', 'l_suppkey'})
-# events.ts is physically TIMESTAMP(NANOS) (Spark reads it as LONG via
-# nanosAsLong); DuckDB would silently rewrite it as us-TIMESTAMP, so
-# emit raw INT64 nanos instead — same LONG on the Spark side.
-gen('events', {'event_id', 'user_id'}, transforms={'ts': 'epoch_ns(ts)'})
+# events.ts is physically timestamp[us] in the current testdata
+# generation; DuckDB preserves it on COPY, and Tables.normalizeEventTs
+# dispatches on the read schema either way (NTZ here, or INT64 nanos
+# from the older generation).
+gen('events', {'event_id', 'user_id'})
 gen('documents', {'doc_id'})
 gen('embeddings', {'vec_id'})
