@@ -190,8 +190,7 @@ object Curation {
       capacity: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val base0 = df.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
-    val sliceId = RangeSlice.sliceExpr(base0, Seq(col(idCol)), parts)
-    val base = base0.withColumn("sid", sliceId)
+    val base = RangeSlice.withSliceId(base0, Seq(col(idCol)), parts, "sid")
     val wOff = Window.orderBy(col("sid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("sid")).agg(sum(col("n_tokens")).as("toks"))

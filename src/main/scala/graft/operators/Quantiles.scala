@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
  *     [[RangeSlice]]. The id is a pure function of the row, so every
  *     plan branch recomputes the SAME slicing: no pinned partition
  *     ids, no checkpoint, no full-table materialization, and executor
- *     loss just recomputes (fault-tolerant at 1000 executors);
+ *     loss just recomputes (fault-tolerant at 1000 executors). The
+ *     recompute-safety inherits RangeSlice's precondition: the input
+ *     must have deterministic lineage — persist first if it doesn't;
  *  2. global rank within each group = per-(slice, group) counts
  *     (a slices×groups-sized aggregate) cumulated into offsets +
  *     a slice-local row_number — the seq_pack/q_ntile_spread
@@ -74,8 +76,7 @@ object Quantiles {
       .filter(col(valueCol).isNotNull)
       .select((col(groupCol).as("g") +: col(valueCol).cast("double").as("v") +:
         tieCols.map(col)): _*)
-    val sliceId = RangeSlice.sliceExpr(base, Seq(col("g"), col("v")), parts)
-    val sliced = base.withColumn("sid", sliceId)
+    val sliced = RangeSlice.withSliceId(base, Seq(col("g"), col("v")), parts, "sid")
     val orderCols = col("v") +: tieCols.map(col)
     // slices×groups rows: per-slice counts → per-group slice offsets;
     // the same tiny aggregate also yields per-group totals (ONE

@@ -289,9 +289,8 @@ object RelationalQueries {
     // checkpoint, no full-table materialization, recompute-safe
     val base0 = Tables.customer(spark, dir)
       .select(col("c_acctbal"), col("c_custkey"))
-    val sliceId = graft.operators.RangeSlice.sliceExpr(
-      base0, Seq(col("c_acctbal"), col("c_custkey")), parts)
-    val base = base0.withColumn("sid", sliceId)
+    val base = graft.operators.RangeSlice.withSliceId(
+      base0, Seq(col("c_acctbal"), col("c_custkey")), parts, "sid")
     val total = base0.count() // single scalar: ntile's N (model parameter)
     val wOff = Window.orderBy(col("sid"))
       .rowsBetween(Window.unboundedPreceding, -1)
