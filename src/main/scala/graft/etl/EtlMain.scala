@@ -7,12 +7,19 @@ import org.apache.spark.sql.SparkSession
  * the reference runs today, one subcommand each:
  *
  *   extract <output_dir> --start N [--end N] [--endpoint URL]
- *           [--slots-per-dir N] [--replay DIR]
+ *           [--slots-per-dir N] [--replay DIR] [--stream DEST]
  *     ≈ `ExtractBatch.py main()` (ExtractBatch.py:26-54): walk the
  *     slot range via RPC with retry/backoff, gzip raw envelopes into
  *     the slots-per-dir layout. `--replay DIR` swaps the live HTTP
  *     transport for `FileReplayTransport` (fixture replay / air-gapped
  *     runs — and the only transport testable in this sandbox).
+ *     `--stream DEST` composes the two halves of the pipeline in ONE
+ *     process ≈ `ExtractStreaming.py` (ExtractStreaming.py:11-46):
+ *     the stateless task tables start as Structured Streaming queries
+ *     over the extract layout BEFORE extraction begins, each fetched
+ *     block becomes a micro-batch input as its file lands, and when
+ *     the slot walk finishes the streams drain and stop — RPC →
+ *     transform → files without a second command or a re-scan.
  *
  *   transform <blocks_dir> <dest_dir> [--tasks t1,t2|all]
  *             [--format parquet|csv]
@@ -34,7 +41,7 @@ object EtlMain {
 
   private val usage =
     """usage:
-      |  EtlMain extract <output_dir> --start N [--end N] [--endpoint URL] [--slots-per-dir N] [--replay DIR]
+      |  EtlMain extract <output_dir> --start N [--end N] [--endpoint URL] [--slots-per-dir N] [--replay DIR] [--stream DEST]
       |  EtlMain transform <blocks_dir> <dest_dir> [--tasks transactions,transfers,...|all] [--format parquet|csv]
       |  EtlMain stream <blocks_dir> <dest_dir> [--once]""".stripMargin
 
@@ -73,11 +80,23 @@ object EtlMain {
             .getOrElse(new HttpRpcTransport(flags.getOrElse("endpoint",
               "https://api.mainnet-beta.solana.com")))
           val client = new ExtractClient(transport, log = log)
+          // --stream: start the transform streams over the (possibly
+          // still empty) extract layout before fetching, so blocks are
+          // transformed incrementally as their files land
+          val streams = flags.get("stream").map { dest =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+            dest -> StreamingEtl.start(session(), s"$outputDir/*/*.json.gz", dest)
+          }
           val stats = client.runBatch(outputDir,
             start = flags("start").toLong,
             end = flags.get("end").map(_.toLong),
             slotsPerDir = flags.getOrElse("slots-per-dir", "10000").toLong)
           log(s"extract done: fetched=${stats.fetched} skipped=${stats.skipped}")
+          streams.foreach { case (dest, queries) =>
+            queries.foreach(_.processAllAvailable())
+            queries.foreach(_.stop())
+            log(s"stream drained: ${queries.size} task tables -> ${dest}_*")
+          }
           0
         case "transform" =>
           val Seq(blocksDir, destDir) = pos

@@ -84,6 +84,26 @@ class EtlMainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${dest}_accounts").count() > 0)
   }
 
+  test("extract --stream composes fetch and transform in one command") {
+    spark
+    val out = tmp("etlmain_composed_blocks")
+    val dest = tmp("etlmain_composed_out") + "/out"
+    // one process: replay-extract the fixture slot while the streaming
+    // transforms watch the layout; drain; task tables must exist
+    val code = EtlMain.run(Array("extract", out,
+      "--start", "110360000", "--end", "110360000",
+      "--replay", fixtures, "--stream", dest), _ => ())
+    assert(code == 0)
+    assert(spark.read.parquet(s"${dest}_transactions").count() > 0)
+    assert(spark.read.parquet(s"${dest}_accounts").count() > 0)
+    // the raw extract layout was still written (same as plain extract)
+    val files = Files.walk(Paths.get(out))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(files.iterator().asScala.count(_.toString.endsWith(".json.gz")) == 1)
+    } finally files.close()
+  }
+
   test("usage errors exit 2 with the usage text") {
     val logs = scala.collection.mutable.ArrayBuffer[String]()
     assert(EtlMain.run(Array.empty[String], logs += _) == 2)
