@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -227,10 +228,14 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
-    val fps = df.select(col(idCol), md5(norm).as("fp"))
-    val groups = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("canonical_id"))
-    fps.join(groups, "fp")
+    // group stats via a window on fp, NOT aggregate + self-join: the
+    // join shape scans the text (and re-runs the regex normalization +
+    // md5, the expensive part) once per branch; the window computes
+    // fingerprints in ONE pass with the same single shuffle on fp
+    val w = Window.partitionBy(col("fp"))
+    df.select(col(idCol), md5(norm).as("fp"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
       .select(col(idCol), col("fp"), col("group_size"),
         (col(idCol) === col("canonical_id")).as("is_canonical"))
       .orderBy(col(idCol))
