@@ -21,8 +21,13 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n===== $name =====")
-      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // GRAFT_EXPLAIN_MODE=simple shows the *(n) whole-stage-codegen
+      // markers that formatted mode omits
+      val mode = sys.env.getOrElse("GRAFT_EXPLAIN_MODE", "formatted") match {
+        case "simple" => org.apache.spark.sql.execution.SimpleMode
+        case _ => org.apache.spark.sql.execution.FormattedMode
+      }
+      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(mode))
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

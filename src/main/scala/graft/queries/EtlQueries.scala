@@ -40,16 +40,30 @@ object EtlQueries {
     val dzero = lit(0).cast("decimal(12,2)")
     val signed = li.withColumn("signed_value",
       when(col("l_returnflag") === "R", -price).otherwise(price))
-    ord.join(signed, col("o_orderkey") === col("l_orderkey"), "left")
-      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    // aggregate BELOW the join: every measure is a function of
+    // lineitem columns alone, so grouping the fact table first (narrow
+    // rows, one shuffle on l_orderkey) and joining the order-sized
+    // result beats shuffling the wide joined rows a second time. The
+    // agg output is hash-partitioned on the join key already, so the
+    // sort-merge join adds no exchange on that side. num_suppliers is
+    // size(collect_set) — same value as countDistinct without the
+    // two-phase distinct expand.
+    val itemAgg = signed.groupBy(col("l_orderkey"))
       .agg(
-        count(col("l_partkey")).as("num_items"),
-        coalesce(round(sum(col("l_quantity")), 4), lit(0.0)).as("sum_qty"),
-        countDistinct(col("l_suppkey")).as("num_suppliers"),
-        array_join(transform(sort_array(collect_set(col("l_suppkey"))),
-          _.cast("string")), ",").as("suppliers"),
-        coalesce(round(sum(when(col("signed_value") > 0, col("signed_value")).otherwise(dzero)).cast("double"), 4), lit(0.0)).as("value_in"),
-        coalesce(round(sum(when(col("signed_value") < 0, col("signed_value")).otherwise(dzero)).cast("double"), 4), lit(0.0)).as("value_out"))
+        count(col("l_partkey")).as("li_num_items"),
+        round(sum(col("l_quantity")), 4).as("li_sum_qty"),
+        sort_array(collect_set(col("l_suppkey"))).as("supp_set"),
+        round(sum(when(col("signed_value") > 0, col("signed_value")).otherwise(dzero)).cast("double"), 4).as("li_value_in"),
+        round(sum(when(col("signed_value") < 0, col("signed_value")).otherwise(dzero)).cast("double"), 4).as("li_value_out"))
+    ord.join(itemAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        coalesce(col("li_num_items"), lit(0L)).as("num_items"),
+        coalesce(col("li_sum_qty"), lit(0.0)).as("sum_qty"),
+        coalesce(size(col("supp_set")).cast("long"), lit(0L)).as("num_suppliers"),
+        coalesce(array_join(transform(col("supp_set"), _.cast("string")), ","),
+          lit("")).as("suppliers"),
+        coalesce(col("li_value_in"), lit(0.0)).as("value_in"),
+        coalesce(col("li_value_out"), lit(0.0)).as("value_out"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -236,11 +250,19 @@ object EtlQueries {
     val edges = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"), w.as("w"))
-    val out = edges.select(col("src").as("node"), lit("cust").as("side"),
-      lit(1L).as("out_n"), col("w").as("out_w"), lit(0L).as("in_n"), zero.as("in_w"))
-    val in = edges.select(col("dst").as("node"), lit("supp").as("side"),
-      lit(0L).as("out_n"), zero.as("out_w"), lit(1L).as("in_n"), col("w").as("in_w"))
-    out.unionByName(in)
+    // one endpoint row per side via explode, NOT a two-branch union:
+    // a union would recompute the lineitem ⋈ orders join once per
+    // branch; the explode reads the joined edges once and doubles the
+    // rows in-place (generator, no shuffle)
+    val endpoints = edges.select(explode(array(
+      struct(col("src").as("node"), lit("cust").as("side"),
+        lit(1L).as("out_n"), col("w").as("out_w"),
+        lit(0L).as("in_n"), zero.as("in_w")),
+      struct(col("dst").as("node"), lit("supp").as("side"),
+        lit(0L).as("out_n"), zero.as("out_w"),
+        lit(1L).as("in_n"), col("w").as("in_w")))).as("e"))
+      .select(col("e.*"))
+    endpoints
       .groupBy(col("node"), col("side"))
       .agg(sum(col("out_n")).as("out_degree"),
         round(sum(col("out_w")).cast("double"), 4).as("out_value"),
