@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -350,17 +351,21 @@ object EtlQueries {
    * with position — the same array-of-struct shape the reference walks.
    */
   def instrFlatten(spark: SparkSession, dir: String): DataFrame = {
-    val nested = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_list(struct(
-        col("l_linenumber"), col("l_partkey"), col("l_quantity")))).as("items"))
-    nested
-      .select(col("l_orderkey"), posexplode(col("items")).as(Seq("pos", "item")))
+    // positional ids via a row_number window, NOT collect_list +
+    // posexplode: same one shuffle on the parent key, but no per-group
+    // array ever materializes — a parent with millions of children
+    // costs partition space, not one aggregation buffer
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      .withColumn("pos", row_number().over(byOrder).cast("int") - 1)
       .select(
         col("l_orderkey"),
         col("pos"),
-        col("item.l_partkey").as("l_partkey"),
-        col("item.l_quantity").as("l_quantity"),
+        col("l_partkey"),
+        col("l_quantity"),
         concat_ws(".", col("l_orderkey"), col("pos")).as("gen_id"))
       .orderBy(col("l_orderkey"), col("pos"))
   }
@@ -376,24 +381,27 @@ object EtlQueries {
    * `SolanaTransforms.accounts`.
    */
   def accountFlags(spark: SparkSession, dir: String): DataFrame = {
-    val nested = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_list(struct(
-        col("l_linenumber"), col("l_partkey"), col("l_returnflag"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price")))).as("items"))
-    nested
-      .select(col("l_orderkey"), posexplode(col("items")).as(Seq("pos", "it")))
+    // row_number window instead of collect_list + posexplode — see
+    // instrFlatten; same order key shuffle, no per-group array
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_returnflag"),
+        col("price"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag"), price.as("price"))
+      .withColumn("pos", (row_number().over(byOrder) - 1).cast("long"))
       .select(
         col("l_orderkey"),
-        col("pos").cast("long").as("pos"),
-        col("it.l_partkey").as("key"),
+        col("pos"),
+        col("l_partkey").as("key"),
         (col("pos") === 0).as("signer"),
-        (col("it.l_returnflag") === "R").as("writable"),
-        when(col("it.l_returnflag") === "R", "RETURNED")
-          .when(col("it.price") > 50000, "LARGE")
+        (col("l_returnflag") === "R").as("writable"),
+        when(col("l_returnflag") === "R", "RETURNED")
+          .when(col("price") > 50000, "LARGE")
           .otherwise("STANDARD").as("account_type"),
-        round(when(col("it.l_returnflag") === "R", -col("it.price"))
-          .otherwise(col("it.price")).cast("double"), 2).as("value_change"))
+        round(when(col("l_returnflag") === "R", -col("price"))
+          .otherwise(col("price")).cast("double"), 2).as("value_change"))
       .orderBy(col("l_orderkey"), col("pos"))
   }
 
