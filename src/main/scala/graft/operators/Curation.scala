@@ -143,6 +143,56 @@ object Curation {
   }
 
   /**
+   * Target-weight mixture downsampling — the "data mixture" step that
+   * reshapes a corpus to prescribed stratum proportions (40% en, 15%
+   * de, …) WITHOUT upsampling: the output is the largest corpus whose
+   * stratum shares match the integer weights, i.e. capacity
+   * M = min_s ⌊n_s·denom/w_s⌋ and each stratum keeps its
+   * ⌊w_s·M/denom⌋ best-ranked rows. All arithmetic is integer (no
+   * float shares to disagree at a cut) and ranking is the
+   * content-hash order of [[stratifiedSample]] — deterministic across
+   * reruns, engines, and partitioning, no RNG state on 1000 executors.
+   * Strata absent from `weights` (or weighted 0) are dropped.
+   *
+   * Shape at scale: one narrow stratum-keyed count (≤|weights| rows →
+   * the capacity is driver-free, a 1-row aggregate re-entering by
+   * broadcast), then one window partitioned by stratum for the rank.
+   * The dims join is broadcast-honest because the stratum domain is
+   * bounded by the weights list itself.
+   *
+   * @param weights (stratum value, integer weight) pairs; shares are
+   *                weight/denom with denom = Σweights (e.g. percents
+   *                summing to 100)
+   */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one stratum weight")
+    require(weights.forall(_._2 >= 0), "weights must be non-negative")
+    val denom = weights.map(_._2.toLong).sum
+    require(denom > 0, "weights must not all be zero")
+    val wMap = map(weights.flatMap { case (s, w) =>
+      Seq(lit(s), lit(w.toLong)) }: _*)
+    val base = df.select(col(idCol), col(strataCol).as("stratum"))
+      .withColumn("w", element_at(wMap, col("stratum")))
+      .filter(col("w").isNotNull && col("w") > 0)
+    val counts = base.groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("stratum_n"))
+    val capacity = counts
+      .agg(min(expr(s"stratum_n * ${denom}L div w")).as("m"))
+    val dims = counts.crossJoin(broadcast(capacity))
+      .select(col("stratum"), col("stratum_n"),
+        expr(s"w * m div ${denom}L").as("keep_n"))
+    val rankW = Window.partitionBy(col("stratum"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    base.join(broadcast(dims), "stratum")
+      .withColumn("mix_rank", row_number().over(rankW).cast("long"))
+      .filter(col("mix_rank") <= col("keep_n"))
+      .select(col(idCol), col("stratum"), col("stratum_n"),
+        col("mix_rank"), col("keep_n"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Intra-document repetition score — the boilerplate/spam signal:
    * fraction of a document's word n-grams that are repeats of an
    * earlier n-gram in the same document. Computed from the exploded

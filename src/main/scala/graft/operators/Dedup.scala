@@ -488,6 +488,75 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Cross-document duplicated-window coverage — substring-granular
+   * dedup statistics in the style of "train-data dedup at the span
+   * level": a length-`k` word window is DUPLICATED when its exact text
+   * occurs in at least two distinct documents, and a word is COVERED
+   * when any duplicated window contains it. Doc-level dedup (exact /
+   * minhash / simhash above) misses boilerplate spans pasted into
+   * otherwise-unique documents; this operator measures exactly that
+   * mass, per document, so a pipeline can drop or trim high-coverage
+   * docs. Windows repeated only WITHIN one document are NOT counted —
+   * that intra-doc signal is `Curation.repetitionScore`.
+   *
+   * Shape at 100 TB: the window table is the codegen'd posexplode +
+   * lead() chain shingleHashes uses (k−1 leads over the doc-keyed
+   * window — one shuffle by doc), windows travel as xxhash64 longs,
+   * and duplicated-window detection is ONE keyed aggregation on the
+   * window hash (count_distinct doc, partial-aggregated map-side).
+   * The join back is pinned shuffle-hash: the duplicated-window set is
+   * vocabulary-sized (unbounded at corpus scale, never
+   * broadcast-honest), and it arrives already partitioned by `s` from
+   * its own aggregation. Coverage is a doc-keyed count-distinct over
+   * the ≤k-expanded duplicated positions. No all-pairs stage anywhere.
+   *
+   * @return one row per doc: n_words, n_windows, dup_windows (window
+   *         positions whose text is cross-doc duplicated),
+   *         covered_words (distinct word positions under any
+   *         duplicated window), retained_words, dup_ratio
+   */
+  def dupWindowStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val wordTable = df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = wordTable.select(col("doc") +: col("pos") +:
+      col("w").as("w0") +:
+      (1 until k).map(j => lead(col("w"), j).over(byDoc).as(s"w$j")): _*)
+    val wins = withLeads
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until k).map(j => col(s"w$j")): _*)).as("s"))
+    // windows seen in >= 2 distinct docs; count_distinct partial-dedups
+    // (s, doc) map-side before the count
+    val dupW = wins.groupBy(col("s"))
+      .agg(count_distinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("s"))
+    val dupPos = wins.join(dupW.hint("shuffle_hash"), "s")
+    val perDoc = dupPos
+      .select(col("doc"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(col("doc"))
+      .agg(count_distinct(col("pos")).as("dup_windows"),
+        count_distinct(col("p")).as("covered_words"))
+    df.select(col(idCol).as("doc"),
+        size(words(col(textCol))).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_words"),
+        greatest(col("n_words") - (k - 1), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"))
+      .withColumn("retained_words", col("n_words") - col("covered_words"))
+      .withColumn("dup_ratio",
+        round(when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("covered_words") / col("n_words").cast("double")), 6))
+      .orderBy(col(idCol))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotd

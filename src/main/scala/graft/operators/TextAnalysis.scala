@@ -221,6 +221,45 @@ object TextAnalysis {
       .orderBy(col(idCol), col("chunk_idx"))
 
   /**
+   * Corpus-unigram negative log-likelihood — the perplexity-proxy
+   * quality signal (the CCNet-style filter, with the corpus itself as
+   * the language model): score each document by the average
+   * −log₂ p(word) of its tokens under the corpus unigram distribution.
+   * Gibberish and rare-token-heavy documents score high; fluent text
+   * built from common words scores low. The integer-exact companions
+   * (n_rare at corpus frequency ≤ 5, and the `rare_heavy` flag
+   * 5·n_rare > n_tokens) give a float-free signal for pipelines that
+   * cut on a boundary.
+   *
+   * Shape at 100 TB: two keyed aggregations (doc×term term counts,
+   * then term → corpus frequency) and one join back, pinned
+   * shuffle-hash exactly as tfidfTopTerms (the vocabulary is unbounded
+   * and arrives term-partitioned from its own aggregation); the corpus
+   * total re-enters as a broadcast 1-row join. No per-group buffering,
+   * no collect beyond the 1-row total.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    tf.join(cf.hint("shuffle_hash"), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * log2(col("cf"))).as("sum_log_cf"),
+        sum(when(col("cf") <= 5, col("tf")).otherwise(lit(0L))).as("n_rare"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        round(log2(col("n_total")) - col("sum_log_cf") / col("n_tokens"), 4)
+          .as("avg_nll_bits"),
+        (col("n_rare") * 5 > col("n_tokens")).as("rare_heavy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Content fingerprint: normalize (lowercase, strip non-alnum,
    * collapse whitespace) then hash; join back the fingerprint group
    * size — documents sharing a fingerprint are normalization-equal.

@@ -602,7 +602,18 @@ object RelationalQueries {
       .withColumn("skew_ratio",
         round(col("max_cnt") / (col("n_rows") * lit(1.0) / col("n_keys")), 4))
 
+  /**
+   * Robust per-type outlier screen over the event stream — see
+   * operators/Robust.scala for the median/MAD machinery (both medians
+   * via the distributed exact-percentile operator, nothing
+   * group-sized in memory).
+   */
+  def madOutlierEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.madOutliers(Tables.events(spark, dir),
+      "event_type", "value", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_mad" -> madOutlierEvents _,
     "q_skew_profile" -> skewProfile _,
     "q_incr_agg" -> incrAgg _,
     "q_incr_distinct" -> incrDistinct _,
@@ -636,6 +647,19 @@ object RelationalQueries {
     "q_rollup" -> rollupNationYear _)
 
   val oracleSql: Map[String, String] = Map(
+    "anomaly_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        | round(d.med, 6) AS med, round(md.mad, 6) AS mad,
+        | round((d.value - d.med) / (1.4826 * md.mad), 4) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND abs(d.value - d.med) > 3.5 * 1.4826 * md.mad
+        |ORDER BY d.event_id""".stripMargin,
     // the sketch queries are self-checking: exact columns compare
     // value-for-value and the oracle asserts the sketch's error-bound
     // flag is all-true (an out-of-bound sketch flips the value hash)

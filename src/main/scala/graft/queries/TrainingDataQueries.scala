@@ -202,6 +202,13 @@ object TrainingDataQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_dedup" -> ((s, d) =>
+      Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
+    "doc_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    "corpus_mix" -> ((s, d) =>
+      Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+        Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))),
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
     "dedup_semantic" -> semanticDedup _,
@@ -305,6 +312,58 @@ object TrainingDataQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "window_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |wins AS (SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 7), ' ') AS s
+        |         FROM w, unnest(range(1, len(ws) - 6)) t(i) WHERE len(ws) >= 8),
+        |dup AS (SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |dpos AS (SELECT doc_id, i FROM wins JOIN dup USING (s)),
+        |agg AS (SELECT doc_id, count(DISTINCT i) AS dup_windows,
+        |          count(DISTINCT p) AS covered_words
+        |        FROM dpos, unnest(range(i, i + 8)) t(p) GROUP BY 1)
+        |SELECT d.doc_id, len(w.ws) AS n_words,
+        | greatest(len(w.ws) - 7, 0) AS n_windows,
+        | coalesce(a.dup_windows, 0) AS dup_windows,
+        | coalesce(a.covered_words, 0) AS covered_words,
+        | len(w.ws) - coalesce(a.covered_words, 0) AS retained_words,
+        | round(CASE WHEN len(w.ws) = 0 THEN 0.0
+        |   ELSE coalesce(a.covered_words, 0) * 1.0 / len(w.ws) END, 6) AS dup_ratio
+        |FROM documents d JOIN w USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "doc_logprob" ->
+      """WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf),
+        |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |        sum(tf * log2(cf)) AS sum_log_cf,
+        |        CAST(sum(CASE WHEN cf <= 5 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+        |      FROM tf JOIN cf USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_rare,
+        | round(log2((SELECT n_total FROM tot)) - sum_log_cf / n_tokens, 4) AS avg_nll_bits,
+        | n_rare * 5 > n_tokens AS rare_heavy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH b AS (SELECT doc_id, lang AS stratum,
+        |    CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'fr' THEN 15
+        |              WHEN 'es' THEN 15 WHEN 'zh' THEN 15 END AS w
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')),
+        |c AS (SELECT stratum, w, count(*) AS stratum_n FROM b GROUP BY 1, 2),
+        |m AS (SELECT min(stratum_n * 100 // w) AS m FROM c),
+        |dims AS (SELECT stratum, CAST(stratum_n AS BIGINT) AS stratum_n,
+        |           CAST((w * m.m) // 100 AS BIGINT) AS keep_n FROM c, m),
+        |r AS (SELECT doc_id, stratum,
+        |        row_number() OVER (PARTITION BY stratum
+        |          ORDER BY md5(doc_id::VARCHAR), doc_id) AS mix_rank
+        |      FROM b)
+        |SELECT r.doc_id, r.stratum, d.stratum_n,
+        | CAST(r.mix_rank AS BIGINT) AS mix_rank, d.keep_n
+        |FROM r JOIN dims d USING (stratum)
+        |WHERE r.mix_rank <= d.keep_n ORDER BY r.doc_id""".stripMargin,
     // self-checked approximate ops: the oracle recomputes the EXACT
     // side's count in SQL and asserts the bound flags are all-true —
     // a recall drop below the spec'd floor (or an estimator outside
