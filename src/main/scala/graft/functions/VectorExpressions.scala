@@ -250,6 +250,104 @@ case class PqAdcD(child: Expression, lut: Array[Double],
     copy(child = newChild)
 }
 
+/**
+ * Scalar (int8) quantization encode, one codegen'd pass: element i
+ * maps to `clamp(round((x_i − min_i)·scale_i), 0, 255)` stored as one
+ * byte — a 64-dim float vector becomes a 64-byte BINARY (4× smaller
+ * than float32, 8× smaller than the double array). min/scale are
+ * per-dimension model parameters (driver-computed from one partial-agg
+ * min/max pass). A dimension with zero range encodes 0.
+ */
+case class Sq8EncodeB(child: Expression, mins: Array[Double],
+    scales: Array[Double]) extends UnaryExpression {
+
+  private val dim = mins.length
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "sq8_encode_b"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < n) {
+      val q = Math.round((v.getDouble(i) - mins(i)) * scales(i))
+      out(i) = Math.max(0L, Math.min(255L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("scales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = java.lang.Math.min($v.numElements(), $dim);
+        byte[] $out = new byte[$dim];
+        for (int $i = 0; $i < $n; $i++) {
+          long $q = java.lang.Math.round(
+            ($v.getDouble($i) - $minsRef[$i]) * $scalesRef[$i]);
+          $out[$i] = (byte) java.lang.Math.max(0L, java.lang.Math.min(255L, $q));
+        }
+        ${ev.value} = $out;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric scalar-quantized inner product: with per-dim decode
+ * x̂_i = min_i + code_i·Δ_i, the approximate query inner product
+ * Σ q_i·x̂_i folds to `qConst + Σ code_i·w_i` where w_i = q_i·Δ_i and
+ * qConst = Σ q_i·min_i — both driver-precomputed model parameters, so
+ * the scan's per-row cost is one multiply-add per byte of code and
+ * reads NO vector bytes.
+ */
+case class Sq8AdcD(child: Expression, weights: Array[Double],
+    qConst: Double) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adc_d"
+
+  override def nullSafeEval(input: Any): Any = {
+    val code = input.asInstanceOf[Array[Byte]]
+    val n = math.min(code.length, weights.length)
+    var acc = qConst
+    var i = 0
+    while (i < n) { acc += (code(i) & 0xff) * weights(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, code => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($code.length, $wRef.length);
+        double $acc = $qConst;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ($code[$i] & 0xff) * $wRef[$i];
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -287,4 +385,17 @@ object VectorFunctions {
     require(lut.length == m * ksub, "lut shape mismatch")
     ColumnBridge.column(PqAdcD(ColumnBridge.expression(code), lut, m, ksub))
   }
+
+  /** Codegen'd int8 scalar-quantization encode to a dim-byte BINARY;
+    * `mins`/`scales` are per-dimension model parameters. */
+  def sq8Encode(v: Column, mins: Array[Double], scales: Array[Double]): Column = {
+    require(mins.length == scales.length && mins.nonEmpty,
+      "mins/scales must be same non-empty length")
+    ColumnBridge.column(Sq8EncodeB(
+      ColumnBridge.expression(v.cast("array<double>")), mins, scales))
+  }
+
+  /** Codegen'd SQ8 asymmetric inner product: qConst + Σ code_i·w_i. */
+  def sq8Adc(code: Column, weights: Array[Double], qConst: Double): Column =
+    ColumnBridge.column(Sq8AdcD(ColumnBridge.expression(code), weights, qConst))
 }

@@ -630,6 +630,143 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Per-dimension (min, max) over the UNIT vectors — the SQ8 model
+   * parameters. ONE partial-aggregating pass (posexplode + min/max
+   * groupBy on the dimension index; `dim` result rows), collected
+   * driver-side like k-means centroids. Exact global extremes: at 8
+   * bits/dim a stray outlier merely widens one dimension's step, it
+   * cannot corrupt others (contrast PQ, where a skewed subspace skews
+   * its whole codebook).
+   */
+  private def sq8Stats(vecs: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
+    val rows = vecs.select(posexplode(col("u")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      if (d < dim) { mins(d) = r.getDouble(1); maxs(d) = r.getDouble(2) }
+    }
+    (mins, maxs)
+  }
+
+  private def sq8Scales(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    mins.indices.map { i =>
+      val range = maxs(i) - mins(i)
+      if (range > 0) 255.0 / range else 0.0
+    }.toArray
+
+  /** Query-side SQ8 fold: approximate IP = qConst + Σ code_i·w_i. */
+  private def sq8QueryFold(qu: Array[Double], mins: Array[Double],
+      maxs: Array[Double]): (Array[Double], Double) = {
+    val weights = qu.indices.map(i => qu(i) * (maxs(i) - mins(i)) / 255.0).toArray
+    val qConst = qu.indices.map(i => qu(i) * mins(i)).sum
+    (weights, qConst)
+  }
+
+  /**
+   * Scalar-quantized (SQ8) ANN top-k — the third compression point on
+   * the index spectrum (LSH buckets prune I/O by partition, PQ crushes
+   * to 8 bytes at recall cost, SQ8 keeps 1 byte/dim: 4× smaller than
+   * float32 with near-exact ranking). Vectors L2-normalize and encode
+   * to a dim-byte BINARY (`Sq8EncodeB`, one codegen'd pass); the
+   * query's inner product folds to a constant plus one multiply-add
+   * per code byte (`Sq8AdcD`) — the scan reads codes, never vector
+   * bytes. Top `k·refine` approximate candidates re-rank by exact
+   * cosine via id equi-join. `knnBrute` is the oracle; the registry
+   * form self-checks recall.
+   */
+  def sq8Ann(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, dim: Int, refine: Int = 4): DataFrame = {
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val (mins, maxs) = sq8Stats(vecs, dim)
+    val codes = vecs.select(col("id"),
+      graft.functions.VectorFunctions.sq8Encode(col("u"), mins,
+        sq8Scales(mins, maxs)).as("code"))
+    val qu = vecs.filter(col("id") === queryId)
+      .select(col("u")).head().getSeq[Double](0).toArray
+    val (weights, qConst) = sq8QueryFold(qu, mins, maxs)
+    val cand = codes.filter(col("id") =!= queryId)
+      .withColumn("aip",
+        graft.functions.VectorFunctions.sq8Adc(col("code"), weights, qConst))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val quCol = array(qu.map(lit): _*)
+    cand.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Persist the SQ8 index: the narrow `(id, code)` table (1 byte/dim —
+   * 4× less scan I/O than float32 embeddings, with near-exact
+   * ranking) plus the per-dimension (min, max) as a sibling parquet.
+   * The params travel with the index so `sq8Probe` never rescans the
+   * corpus for extremes — encode-time and probe-time decode grids are
+   * bit-identical by construction.
+   */
+  def sq8IndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int): Unit = {
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val (mins, maxs) = sq8Stats(vecs, dim)
+    vecs.select(col("id"),
+        graft.functions.VectorFunctions.sq8Encode(col("u"), mins,
+          sq8Scales(mins, maxs)).as("code"))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    mins.indices.map(i => (i, mins(i), maxs(i))).toDF("d", "vmin", "vmax")
+      .coalesce(1).write.mode("overwrite").parquet(paramsPath(path))
+  }
+
+  private def paramsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_params"
+
+  /**
+   * Probe the persisted SQ8 index: params load driver-side (dim rows
+   * of model parameters), the query folds to (weights, const)
+   * locally, and the scan touches ONLY the `(id, code)` table —
+   * `ReadSchema` carries a long and a binary, no embedding bytes
+   * (Sq8IndexSpec pins this). Exact re-rank fetches the top
+   * `k·refine` candidates' vectors from `vecsDf` by id equi-join.
+   */
+  def sq8Probe(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecsDf: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, refine: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val prm = spark.read.parquet(paramsPath(path)).collect()
+    val dim = prm.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    prm.foreach { r => mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2) }
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    val qu = queryVec.map(_ / qnrm)
+    val (weights, qConst) = sq8QueryFold(qu, mins, maxs)
+    val codes = spark.read.parquet(path)
+    val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
+      .withColumn("aip",
+        graft.functions.VectorFunctions.sq8Adc(col("code"), weights, qConst))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val vecs = withNorm(vecsDf, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val quCol = array(qu.map(lit): _*)
+    scanned.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Driver-side mirror of `HyperplaneCodeD` (bit p = sign(v·plane_p),
     * `>= 0` inclusive, same seeded planes) — for computing a QUERY
     * vector's buckets as model parameters, no Spark job. */

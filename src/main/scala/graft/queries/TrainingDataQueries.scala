@@ -263,6 +263,13 @@ object TrainingDataQueries {
         Similarity.pqAnn(Tables.embeddings(s, d), "vec_id", "embedding",
           queryId = 0L, k = 10, dim = 64, m = 16, ksub = 16, refine = 16),
         Seq("vec_id"), floor = 0.7, nAlias = "k")),
+    "sq8_ann" -> ((s, d) =>
+      recallChecked(
+        Similarity.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10),
+        Similarity.sq8Ann(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, dim = 64, refine = 4),
+        Seq("vec_id"), floor = 0.9, nAlias = "k")),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>
@@ -401,6 +408,8 @@ object TrainingDataQueries {
     "ivf_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "pq_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
+    "sq8_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (
