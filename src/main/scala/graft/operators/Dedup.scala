@@ -537,12 +537,21 @@ object Dedup {
       .filter(col("nd") >= 2)
       .select(col("s"))
     val dupPos = wins.join(dupW.hint("shuffle_hash"), "s")
+    // coverage stats WITHOUT multi-distinct aggregates: two
+    // count_distincts in one agg go through RewriteDistinctAggregates,
+    // whose Expand/gid assignment permutes across sessions (a genuine
+    // run-to-run plan flip, the profile_table class from r6). Instead:
+    // dedupe (doc, covered-position) keeping multiplicity — every
+    // window contributes exactly k position rows, so dup_windows is
+    // the row total div k, and covered_words is the group count. Two
+    // plain hash aggregates, map-side partials, deterministic plan.
     val perDoc = dupPos
-      .select(col("doc"), col("pos"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(col("doc"), col("p")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc"))
-      .agg(count_distinct(col("pos")).as("dup_windows"),
-        count_distinct(col("p")).as("covered_words"))
+      .agg(count(lit(1)).as("covered_words"), sum(col("c")).as("_tot"))
+      .select(col("doc"), expr(s"_tot div $k").as("dup_windows"),
+        col("covered_words"))
     df.select(col(idCol).as("doc"),
         size(words(col(textCol))).cast("long").as("n_words"))
       .join(perDoc, Seq("doc"), "left")
