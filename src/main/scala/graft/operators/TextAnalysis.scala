@@ -161,6 +161,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("cum_before"), col("term"))
   }
 
+  /**
+   * Corpus bigram language-model table — the next-word conditional
+   * probability estimate p(w2|w1) = c(w1,w2)/c(w1), kept top-k per
+   * context word. The classic n-gram LM fit (and the basis of
+   * perplexity scoring, completion suggestion, collocation mining).
+   * Probabilities are integer-exact ppm (`c12·10⁶ div c1`) for the
+   * same reason as tfidf_terms: rank order is what matters and
+   * integer arithmetic makes the ranking bit-identical across engines.
+   *
+   * Context counts c1 deliberately count BIGRAM LEFT OCCURRENCES
+   * (= token occurrences with a successor), so Σ p(·|w1) = 1 exactly.
+   *
+   * Shape at 100 TB: bigrams come from the codegen'd posexplode +
+   * lead() chain (one doc-keyed window shuffle), then two
+   * vocabulary-keyed aggregations; the context-count join is pinned
+   * shuffle-hash (vocabulary is unbounded, never broadcast-honest,
+   * and arrives key-partitioned from its own aggregation). The top-k
+   * window partitions by context word.
+   */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val bi = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+      .orderBy(col("c12").desc, col("w2"))
+    c12.join(c1.hint("shuffle_hash"), "w1")
+      .withColumn("p_ppm", expr("(c12 * 1000000) div c1"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("p_ppm"), col("rk"))
+      .orderBy(col("w1"), col("rk"))
+  }
+
   // PII patterns shared by the Spark and oracle sides — restricted to
   // syntax Java regex and RE2 (DuckDB) interpret identically
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

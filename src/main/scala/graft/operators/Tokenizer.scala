@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/**
+ * Byte-pair-encoding merge induction — the tokenizer-fit step of a
+ * training-data pipeline: learn the `nMerges` highest-frequency
+ * adjacent-token merges over a corpus, exactly the BPE training loop
+ * (Sennrich et al.), expressed the way it actually scales:
+ *
+ *  - ONE corpus scan builds the word-frequency table; every training
+ *    round thereafter runs on that VOCABULARY-sized relation (the
+ *    standard trick — pair statistics are a pure function of
+ *    (distinct word, count), so 100 TB of text collapses to a
+ *    vocab-sized table before any iteration);
+ *  - each round is two tiny keyed jobs on the vocab table: weighted
+ *    adjacent-pair counts → argmax (collected driver-side: ONE pair —
+ *    model parameters), then the merge applied as a boundary-safe
+ *    string replace (tokens carry " " sentinels, so " a b " → " ab "
+ *    is exact and left-greedy on overlaps, the standard BPE
+ *    application order);
+ *  - ties break deterministically (freq desc, then pair
+ *    lexicographic), so the learned merge list is reproducible across
+ *    engines and partitionings.
+ *
+ * Pair frequencies count ADJACENT OCCURRENCES (overlap included, as
+ * BPE counts do), so the applied merge count can be lower than the
+ * counted frequency ("l l l" counts two "l l" pairs, merges once);
+ * `applied = tokens_before − tokens_after` reports the exact number
+ * of merges performed. The returned merge table is model parameters
+ * (driver-held, like k-means centroids); `bpeFitChecked` folds its
+ * invariants into an oracle-assertable row.
+ */
+object Tokenizer {
+
+  /** One learned merge round. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      freq: Long, applied: Long, tokensBefore: Long, tokensAfter: Long)
+
+  /** The corpus collapsed to (word, n, toks) — built ONCE and
+    * materialized (Dedup.materialize: localCheckpoint by default,
+    * `spark.graft.materialize=none` recomputes); every training round
+    * reads this vocabulary-sized table, never the corpus. */
+  private def vocabBase(df: DataFrame, textCol: String): DataFrame =
+    Dedup.materialize(
+      df.select(explode(words(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        // " h e l l o " — sentinel spaces make every token boundary a
+        // literal " x y " window, so replace() is exact
+        .withColumn("toks",
+          concat(lit(" "), array_join(split(col("word"), "(?!^)"), " "), lit(" "))))
+
+  /** The vocab table after applying `merges` rounds in order. */
+  private def vocabTokens(base: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(base) { case (st, (a, b)) =>
+      st.withColumn("toks", replace(col("toks"), lit(s" $a $b "), lit(s" $a$b ")))
+    }
+
+  private def tokenTotal(state: DataFrame): Long =
+    state.agg(sum(size(split(trim(col("toks")), " ")) * col("n")))
+      .head().getLong(0)
+
+  /** Learn `nMerges` merges; returns the merge log in rank order
+    * (may be shorter if the corpus runs out of repeated pairs). */
+  def bpeFit(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8): Seq[BpeMerge] =
+    fitOn(vocabBase(df, textCol), nMerges)
+
+  private def fitOn(base: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val log = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var merges = Seq.empty[(String, String)]
+    var state = base
+    var before = tokenTotal(state)
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val arr = split(trim(col("toks")), " ")
+      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val top = state
+        .select(col("word"), col("n"), posexplode(arr).as(Seq("pos", "t")))
+        .withColumn("t2", lead(col("t"), 1).over(byWord))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("t"), col("t2")).agg(sum(col("n")).as("f"))
+        .orderBy(col("f").desc, col("t"), col("t2"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges = merges :+ ((a, b))
+        state = vocabTokens(base, merges)
+        val after = tokenTotal(state)
+        log += BpeMerge(r, a, b, f, before - after, before, after)
+        before = after
+        r += 1
+      }
+    }
+    log.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (model parameters). */
+  def bpeMergeTable(spark: SparkSession, log: Seq[BpeMerge]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("applied", LongType, nullable = false),
+      StructField("tokens_before", LongType, nullable = false),
+      StructField("tokens_after", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(log.map(m => Row(m.rank.toLong, m.left,
+        m.right, m.left + m.right, m.freq, m.applied, m.tokensBefore,
+        m.tokensAfter)), 1),
+      schema)
+  }
+
+  /**
+   * Oracle-assertable summary: the SQL-recomputable facts (round-1
+   * argmax pair and frequency, the initial token total) as values,
+   * and the un-SQL-able rounds ≥2 as invariant flags — frequencies
+   * non-increasing (a new pair's occurrences are bounded by the merge
+   * that created its left/right parts), every round applied ≥1 and
+   * ≤ freq merges, and the final tokenization re-concatenates to the
+   * original words (losslessness, checked distributed).
+   */
+  def bpeFitChecked(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8): DataFrame = {
+    val base = vocabBase(df, textCol)
+    val log = fitOn(base, nMerges)
+    val finalState = vocabTokens(base, log.map(m => (m.left, m.right)))
+    val freqOk = log.zip(log.drop(1)).forall { case (x, y) => y.freq <= x.freq }
+    val appliedOk = log.forall(m => m.applied >= 1 && m.applied <= m.freq)
+    val first = log.head
+    finalState
+      .agg(sum(when(replace(trim(col("toks")), lit(" "), lit("")) === col("word"),
+        0L).otherwise(1L)).as("bad"))
+      .select(
+        lit(log.length.toLong).as("n_merges"),
+        lit(first.left).as("first_left"),
+        lit(first.right).as("first_right"),
+        lit(first.freq).as("first_freq"),
+        lit(first.tokensBefore).as("initial_tokens"),
+        lit(freqOk).as("freq_nonincreasing"),
+        lit(appliedOk).as("applies_bounded"),
+        (col("bad") === 0).as("lossless"),
+        lit(log.nonEmpty).as("nonempty"))
+  }
+}

@@ -278,6 +278,55 @@ object EtlQueries {
    * JSON string column. Codegen'd path expression, no UDF.
    */
   /**
+   * Butterfly (4-cycle) counting over the bipartite interaction graph
+   * — the bipartite analogue of triangle counting (the graph here is
+   * customer–supplier, so triangles cannot exist; butterflies — two
+   * customers sharing two suppliers — are its clustering motif, the
+   * basis of bipartite clustering coefficients and community
+   * detection). Exact motif counts from keyed equi-joins only:
+   * wedges are generated by self-joining the DISTINCT edge set on the
+   * customer side (rows = Σ_c C(deg_c, 2) — the side is chosen
+   * because customer degrees are bounded by a customer's supplier
+   * diversity, while supplier degrees grow with the customer
+   * population), and butterflies fold per supplier-pair as C(m, 2).
+   *
+   * Scale contract (the ScaleGuard eager-count pattern): the wedge
+   * total is computed FIRST from the degree table — a tiny
+   * aggregation — and the operator refuses to plan a wedge join
+   * bigger than `maxWedges`. At 100 TB the mitigations are
+   * degree-capped vertex sampling or per-key wedge caps; the refusal
+   * names the knob instead of silently melting the cluster.
+   */
+  def graphButterflies(spark: SparkSession, dir: String,
+      maxWedges: Long = 2000000000L): DataFrame = {
+    def edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    // degree pass: n_edges + the exact wedge total (model-parameter
+    // sized result, one bounded job at construction)
+    val degRow = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .agg(sum(col("d")).as("n_edges"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      .head()
+    val (nEdges, nWedges) = (degRow.getLong(0), degRow.getLong(1))
+    require(nWedges <= maxWedges,
+      s"butterfly wedge join would generate $nWedges rows (> $maxWedges); " +
+        "cap degrees or sample vertices before counting")
+    // wedge join pinned shuffle-hash: both sides are the same relation
+    // (identical size estimates), so an unhinted join lets AQE pick
+    // the build side by stage-arrival order — a run-to-run plan flip
+    val wedges = edges.join(
+      edges.select(col("c"), col("s").as("s2")).hint("shuffle_hash"), "c")
+      .filter(col("s") < col("s2"))
+    wedges.groupBy(col("s"), col("s2")).agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("n_supp_pairs"),
+        sum(expr("m * (m - 1) div 2")).as("n_butterflies"))
+      .select(lit(nEdges).as("n_edges"), lit(nWedges).as("n_wedges"),
+        col("n_supp_pairs"), col("n_butterflies"))
+  }
+
+  /**
    * PageRank (damping 0.85, 5 fixed iterations) over the interaction
    * graph — the analytics step past `GraphBuilder`'s edge loading:
    * rank the graph instead of shipping it to neo4j. Iterative
@@ -455,6 +504,7 @@ object EtlQueries {
     "entity_classify" -> entityClassify _,
     "graph_edges" -> graphEdges _,
     "graph_degrees" -> graphDegrees _,
+    "graph_butterflies" -> ((s, d) => graphButterflies(s, d)),
     "graph_pagerank" -> graphPageRank _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
@@ -600,6 +650,19 @@ object EtlQueries {
         |                  FROM r4 r JOIN edges e ON e.src = r.node
         |                  JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s USING (node))
         |SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node""".stripMargin,
+    "graph_butterflies" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c, count(*) AS d FROM e GROUP BY 1),
+        |pc AS (SELECT a.s, b.s AS s2, count(*) AS m
+        |       FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+        |       GROUP BY 1, 2)
+        |SELECT
+        | (SELECT CAST(sum(d) AS BIGINT) FROM deg) AS n_edges,
+        | (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        | count(*) AS n_supp_pairs,
+        | CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_butterflies
+        |FROM pc""".stripMargin,
     "graph_edges" ->
       """SELECT o_custkey AS src, l_suppkey AS dst,
         | count(*) AS n_interactions,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, Tokenizer}
 
 /**
  * §C/§D/§E — training-data pipeline operators bound to the testdata
@@ -206,6 +206,11 @@ object TrainingDataQueries {
       Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
     "doc_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    "ngram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text", k = 3)),
+    "bpe_fit" -> ((s, d) =>
+      Tokenizer.bpeFitChecked(Tables.documents(s, d), "doc_id", "text",
+        nMerges = 8)),
     "corpus_mix" -> ((s, d) =>
       Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
         Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))),
@@ -354,6 +359,38 @@ object TrainingDataQueries {
         | round(log2((SELECT n_total FROM tot)) - sum_log_cf / n_tokens, 4) AS avg_nll_bits,
         | n_rare * 5 > n_tokens AS rare_heavy
         |FROM d ORDER BY doc_id""".stripMargin,
+    // bpe_fit: rounds >= 2 are un-SQL-able (iterative data-dependent
+    // argmax), so the oracle recomputes what IS expressible — the
+    // round-1 argmax pair (freq desc, pair asc tie-break) and the
+    // initial char-token total — and pins the loop invariants TRUE
+    "bpe_fit" ->
+      """WITH wf AS (SELECT w AS word, count(*) AS n
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |p AS (SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b,
+        |        CAST(sum(n) AS BIGINT) AS f
+        |      FROM wf, unnest(range(1, length(word))) t(i)
+        |      GROUP BY 1, 2),
+        |top1 AS (SELECT a, b, f FROM p ORDER BY f DESC, a, b LIMIT 1)
+        |SELECT CAST(8 AS BIGINT) AS n_merges,
+        | a AS first_left, b AS first_right, f AS first_freq,
+        | (SELECT CAST(sum(n * length(word)) AS BIGINT) FROM wf) AS initial_tokens,
+        | TRUE AS freq_nonincreasing, TRUE AS applies_bounded,
+        | TRUE AS lossless, TRUE AS nonempty
+        |FROM top1""".stripMargin,
+    "ngram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM w, unnest(range(1, len(ws))) t(i)),
+        |t12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |t1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM t12 GROUP BY 1),
+        |r AS (SELECT w1, w2, c12, c1, (c12 * 1000000) // c1 AS p_ppm,
+        |        row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rk
+        |      FROM t12 JOIN t1 USING (w1))
+        |SELECT w1, w2, c12, c1, p_ppm, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
     "corpus_mix" ->
       """WITH b AS (SELECT doc_id, lang AS stratum,
         |    CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'fr' THEN 15

@@ -190,7 +190,69 @@ object EventStreams {
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** Latest row per user by (ts, event_id) — the CDC merge rule. */
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
+  /**
+   * Streaming CDC apply — maintain a latest-state-per-key SNAPSHOT
+   * from a change stream, the materialized-upsert shape every CDC
+   * pipeline ends in (q_upsert_merge is its one-shot batch sibling).
+   * The events table is re-laid as four time-sliced files and
+   * replayed as a REAL file stream (`maxFilesPerTrigger=1` → four
+   * successive microbatches); `foreachBatch` merges each batch into a
+   * versioned parquet snapshot: reduce the batch to latest-per-key,
+   * union with the previous snapshot version, keep latest-per-key,
+   * write version v+1. Because the merge rule (max by (ts, event_id))
+   * is associative and commutative, the FINAL snapshot is independent
+   * of how the stream was sliced into batches — which is exactly what
+   * the batch oracle checks.
+   *
+   * At 100 TB the per-batch full-snapshot rewrite becomes a
+   * partitioned overwrite (hash-bucket the snapshot by key, rewrite
+   * only buckets the batch touches) or a storage-layer MERGE; the
+   * streaming mechanics — bounded per-batch work, versioned atomic
+   * publish, slice-independent convergence — are the contract here.
+   */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Tables.events(spark, dir)
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$work/changes")
+    val schema = spark.read.parquet(s"$work/changes").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/changes")
+    val snapDir = s"$work/snapshot"
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = withStatePartitions(spark, 8) {
+      stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val incoming = latestPerKey(batch)
+          val v = version.get()
+          val cur =
+            if (v == 0) incoming.limit(0)
+            else spark.read.parquet(s"$snapDir/v$v")
+          latestPerKey(cur.unionByName(incoming))
+            .write.mode("overwrite").parquet(s"$snapDir/v${v + 1}")
+          version.incrementAndGet()
+          ()
+        }
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(s"$snapDir/v${version.get()}")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc" -> ((s, d) => streamCdcApply(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
@@ -198,6 +260,14 @@ object EventStreams {
     "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "stream_cdc" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        | FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        | value AS last_value, us AS last_us
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "stream_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         | epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
