@@ -211,6 +211,8 @@ object TrainingDataQueries {
     "bpe_fit" -> ((s, d) =>
       Tokenizer.bpeFitChecked(Tables.documents(s, d), "doc_id", "text",
         nMerges = 8)),
+    "quality_classify" -> ((s, d) =>
+      graft.operators.QualityModel.classifyChecked(s, d)),
     "corpus_mix" -> ((s, d) =>
       Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
         Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))),
@@ -359,6 +361,23 @@ object TrainingDataQueries {
         | round(log2((SELECT n_total FROM tot)) - sum_log_cf / n_tokens, 4) AS avg_nll_bits,
         | n_rare * 5 > n_tokens AS rare_heavy
         |FROM d ORDER BY doc_id""".stripMargin,
+    // quality_classify: LR coefficients are optimizer output (not
+    // SQL-recomputable), so the oracle recomputes the weak label (the
+    // quality-bar criterion, same formula as corpus_curate) and the
+    // split counts exactly, and asserts the held-out rank-exact AUC
+    "quality_classify" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |    (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |    least(1.0, round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality
+        | FROM w)
+        |SELECT count(*) AS n_docs,
+        | CAST(count(CASE WHEN quality >= 0.5 THEN 1 END) AS BIGINT) AS n_ref,
+        | CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_train,
+        | TRUE AS auc_ok, CAST(8 AS BIGINT) AS n_features, TRUE AS nonempty
+        |FROM q""".stripMargin,
     // bpe_fit: rounds >= 2 are un-SQL-able (iterative data-dependent
     // argmax), so the oracle recomputes what IS expressible — the
     // round-1 argmax pair (freq desc, pair asc tie-break) and the
