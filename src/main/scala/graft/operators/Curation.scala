@@ -280,4 +280,73 @@ object Curation {
       .filter(col("q_rank") * keepDenom <= col("stratum_n") * keepNumer)
       .orderBy(col(idCol))
   }
+
+  /**
+   * DSIR-style importance weights — data selection with importance
+   * resampling (Xie et al. 2023, arXiv:2302.03169): score every raw
+   * document by how target-like it is under hashed n-gram bag-of-words
+   * language models of the target slice vs the whole corpus, so a raw
+   * pile can be re-weighted toward a small high-quality target domain
+   * without training a classifier.
+   *
+   * The feature-hashing trick is exactly what makes this a 100 TB
+   * operator: unigrams+bigrams hash into `buckets` counts, so the two
+   * "language models" are fixed-size vectors (one `buckets`-row
+   * relation, ~tens of KB) regardless of corpus size — model
+   * parameters, not data. The plan is one text scan → one keyed
+   * aggregate on (doc, bucket) (map-side partial), from which the
+   * bucket-marginal counts REUSE the first aggregate's output (a
+   * second, `buckets`-sized agg — no second scan), and the smoothed
+   * log-likelihood-ratio table re-enters by broadcast. No shuffle
+   * touches anything wider than (doc_id, bucket, count).
+   *
+   * Determinism across engines: the per-bucket ratio is scaled to an
+   * integer once (`round(1e6·ln(p̂_target(b)/p̂_raw(b)))`, add-one
+   * smoothing over `buckets`), and each document's score is the
+   * INTEGER sum Σ c_b·llr_ppm[b] — order-independent and exact, so
+   * the oracle can hash-match it. The only float op is the one ln per
+   * bucket, computed from exact integer counts identically on both
+   * engines. Buckets are the first 8 hex chars of md5 mod `buckets`
+   * (cross-engine reproducible, unlike xxhash64 which DuckDB lacks).
+   *
+   * @param isTarget row predicate defining the target slice (e.g.
+   *                 `col("lang") === "en"`); target docs score too —
+   *                 selection keeps any doc whose score is positive,
+   *                 i.e. likelier under the target LM than the raw LM
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "need at least one hash bucket")
+    val ws = graft.functions.TextFunctions.words(col(textCol))
+    // unigrams ++ bigrams assembled array-side in one codegen'd
+    // projection (no second explode pass over the text)
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(concat(ws, bigrams)).as("feat"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("feat").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    val docBucket = feats.groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val bucketStats = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("cnt_r"),
+        sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("cnt_t"))
+    val totals = bucketStats
+      .agg(sum(col("cnt_r")).cast("double").as("r_total"),
+        sum(col("cnt_t")).cast("double").as("t_total"))
+    val llr = bucketStats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(((col("cnt_t") + 1).cast("double") * (col("r_total") + buckets)) /
+                  ((col("cnt_r") + 1).cast("double") * (col("t_total") + buckets)))
+          * 1e6, 0).cast("long").as("llr_ppm"))
+    docBucket.join(broadcast(llr), "bucket")
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("llr_ppm")).as("score_ppm"))
+      .withColumn("selected", col("score_ppm") > 0)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -216,6 +216,9 @@ object TrainingDataQueries {
     "corpus_mix" -> ((s, d) =>
       Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
         Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))),
+    "dsir_weights" -> ((s, d) =>
+      Curation.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en")),
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
     "dedup_semantic" -> semanticDedup _,
@@ -345,6 +348,37 @@ object TrainingDataQueries {
         |   ELSE coalesce(a.covered_words, 0) * 1.0 / len(w.ws) END, 6) AS dup_ratio
         |FROM documents d JOIN w USING (doc_id) LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // dsir_weights: integer-exact mirror — per-bucket llr is scaled to
+    // a BIGINT once (one ln per bucket from exact counts), then every
+    // per-doc score is an integer sum, order-independent on both sides
+    "dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, is_target, ws[i] AS feat
+        |        FROM w, unnest(range(1, len(ws) + 1)) t(i)
+        |      UNION ALL
+        |      SELECT doc_id, is_target, ws[i] || ' ' || ws[i + 1] AS feat
+        |        FROM w, unnest(range(1, len(ws))) t(i)),
+        |fb AS (SELECT doc_id, is_target,
+        |         CAST(('0x' || substring(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket,
+        |         count(*) AS c
+        |       FROM f GROUP BY 1, 2, 3),
+        |bs AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cnt_r,
+        |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS cnt_t
+        |       FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_r) AS DOUBLE) AS r_total,
+        |          CAST(sum(cnt_t) AS DOUBLE) AS t_total FROM bs),
+        |llr AS (SELECT bucket,
+        |          CAST(round(ln(((cnt_t + 1)::DOUBLE * (tot.r_total + 4096)) /
+        |                        ((cnt_r + 1)::DOUBLE * (tot.t_total + 4096)))
+        |               * 1e6, 0) AS BIGINT) AS llr_ppm
+        |        FROM bs, tot)
+        |SELECT fb.doc_id, fb.is_target,
+        | CAST(sum(fb.c) AS BIGINT) AS n_feats,
+        | CAST(sum(fb.c * llr.llr_ppm) AS BIGINT) AS score_ppm,
+        | sum(fb.c * llr.llr_ppm) > 0 AS selected
+        |FROM fb JOIN llr USING (bucket)
+        |GROUP BY 1, 2 ORDER BY fb.doc_id""".stripMargin,
     "doc_logprob" ->
       """WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
         |  FROM (SELECT doc_id,

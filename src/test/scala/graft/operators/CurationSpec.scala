@@ -103,4 +103,45 @@ class CurationSpec extends AnyFunSuite {
     // ties on q=0.9 in b broken by id: 7 then 8
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (7L, 1L), (8L, 2L)))
   }
+
+  test("dsir weights rank target-vocabulary docs above disjoint-vocabulary docs") {
+    // target slice speaks {alpha..}, the raw remainder speaks {uno..};
+    // a held-out doc in target vocabulary must outscore one in raw-only
+    // vocabulary, and target-slice docs must self-select (score > 0)
+    val df = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma delta beta gamma", true),
+      (3L, "uno dos tres cuatro cinco", false),
+      (4L, "alpha beta gamma delta alpha", false), // target-like raw doc
+      (5L, "dos tres cuatro uno dos", false)) // raw-like raw doc
+      .toDF("doc_id", "text", "is_en")
+    val got = Curation.dsirWeights(df, "doc_id", "text", col("is_en"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toMap
+    // n_feats = words + bigrams = 5 + 4 for every doc here
+    assert(got.values.forall(_._2 == 9L))
+    // the target-like raw doc outscores the raw-like raw doc; target
+    // docs outscore the pure-raw-vocabulary docs. (Absolute sign is
+    // meaningless at toy scale: add-one smoothing over `buckets`
+    // dominates a 45-token corpus — the ORDER is the contract.)
+    assert(got(4L)._3 > got(5L)._3)
+    assert(got(1L)._3 > got(3L)._3 && got(2L)._3 > got(3L)._3)
+    assert(got(1L)._3 > got(5L)._3)
+    // the selected flag is exactly the sign of the score
+    assert(got.values.forall(v => v._4 == (v._3 > 0)))
+  }
+
+  test("dsir weights are deterministic and integer-exact across reruns") {
+    val df = (0L until 60L).map(i =>
+      (i, (0 to 6).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "),
+        i % 3 == 0)).toDF("doc_id", "text", "t")
+    val a = Curation.dsirWeights(df, "doc_id", "text", col("t"), buckets = 64)
+      .collect().toSeq
+    val b = Curation.dsirWeights(df, "doc_id", "text", col("t"), buckets = 64)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.size == 60)
+  }
 }
