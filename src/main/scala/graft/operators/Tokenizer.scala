@@ -124,6 +124,75 @@ object Tokenizer {
   }
 
   /**
+   * BPE apply — tokenize the corpus under the learned merges and
+   * report per-document token statistics (the number every LM data
+   * pipeline needs for packing, pricing, and length filtering).
+   *
+   * Scale shape: segmentation is computed once per DISTINCT word on
+   * the vocabulary-sized table (the same collapse that makes the fit
+   * scale — a 100 TB corpus has a bounded vocabulary), then re-enters
+   * the document scan as an equi-join keyed on the word. The join is
+   * shuffle-hash-pinned (vocab and exploded-corpus sides both big at
+   * scale, the tfidf pattern); per-doc stats are one keyed aggregate
+   * with map-side partials. At production vocab sizes (30k+ merges)
+   * the merge fold would checkpoint every few hundred rounds to bound
+   * plan depth; the mechanics are identical.
+   *
+   * @return per doc: word count, character-token count (pre-merge),
+   *         BPE token count (post-merge), and saved = chars − bpe
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8): DataFrame = {
+    val base = vocabBase(df, textCol)
+    val log = fitOn(base, nMerges)
+    encodeOn(df, idCol, textCol, base, log)
+  }
+
+  private def encodeOn(df: DataFrame, idCol: String, textCol: String,
+      base: DataFrame, log: Seq[BpeMerge]): DataFrame = {
+    val finalState = vocabTokens(base, log.map(m => (m.left, m.right)))
+    val wordToks = finalState.select(col("word"),
+      size(split(trim(col("toks")), " ")).cast("long").as("w_toks"),
+      length(col("word")).cast("long").as("w_chars"))
+    df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(wordToks.hint("shuffle_hash"), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_chars")).as("n_char_tokens"),
+        sum(col("w_toks")).as("n_bpe_tokens"))
+      .withColumn("saved", col("n_char_tokens") - col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Oracle-assertable encode: per-doc word and character-token counts
+   * are SQL-recomputable values; the BPE token count itself is not
+   * (it depends on the iterated merges), so it travels as invariant
+   * flags — bounded per doc (words ≤ bpe ≤ chars: every word is ≥1
+   * token and merges only shrink), and the corpus total must equal
+   * the fit log's final token count EXACTLY (the encode join and the
+   * fit's vocab-side accounting are independent computations of the
+   * same number — a 1-row broadcast re-entering per doc).
+   */
+  def bpeEncodeChecked(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8): DataFrame = {
+    val base = vocabBase(df, textCol)
+    val log = fitOn(base, nMerges)
+    val enc = encodeOn(df, idCol, textCol, base, log)
+    val fitTotal = if (log.isEmpty) tokenTotal(base) else log.last.tokensAfter
+    val total = enc.agg(sum(col("n_bpe_tokens")).as("enc_total"))
+    enc.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_words"), col("n_char_tokens"),
+        (col("n_bpe_tokens") >= col("n_words") &&
+          col("n_bpe_tokens") <= col("n_char_tokens")).as("bpe_bounded"),
+        (col("enc_total") === fitTotal).as("totals_consistent"),
+        (col("n_words") > 0).as("nonempty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Oracle-assertable summary: the SQL-recomputable facts (round-1
    * argmax pair and frequency, the initial token total) as values,
    * and the un-SQL-able rounds ≥2 as invariant flags — frequencies

@@ -211,6 +211,9 @@ object TrainingDataQueries {
     "bpe_fit" -> ((s, d) =>
       Tokenizer.bpeFitChecked(Tables.documents(s, d), "doc_id", "text",
         nMerges = 8)),
+    "bpe_encode" -> ((s, d) =>
+      Tokenizer.bpeEncodeChecked(Tables.documents(s, d), "doc_id", "text",
+        nMerges = 8)),
     "quality_classify" -> ((s, d) =>
       graft.operators.QualityModel.classifyChecked(s, d)),
     "corpus_mix" -> ((s, d) =>
@@ -432,6 +435,19 @@ object TrainingDataQueries {
         | TRUE AS freq_nonincreasing, TRUE AS applies_bounded,
         | TRUE AS lossless, TRUE AS nonempty
         |FROM top1""".stripMargin,
+    // bpe_encode: the BPE token count depends on the iterated merges
+    // (un-SQL-able past round 1), so the oracle recomputes the exact
+    // per-doc word and character counts and pins the invariant flags
+    // (words ≤ bpe ≤ chars per doc; corpus total equals the fit log's)
+    "bpe_encode" ->
+      """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(length(w)) AS BIGINT) AS n_char_tokens,
+        | TRUE AS bpe_bounded, TRUE AS totals_consistent, TRUE AS nonempty
+        |FROM (SELECT doc_id,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |      FROM documents)
+        |WHERE length(w) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ngram_lm" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),

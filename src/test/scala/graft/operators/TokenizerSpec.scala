@@ -69,6 +69,28 @@ class TokenizerSpec extends AnyFunSuite {
       ("b", "a", 2L, 2L, 1000000L, 1L)))
   }
 
+  test("bpeEncode tokenizes per doc with exact hand-computable counts") {
+    // after 1 merge ("a","a" — freq 4 beats "a b" 2): "aaa"→[aa,a]=2,
+    // "ab"→[a,b]=2, "b"→[b]=1
+    val corpus = Seq(
+      (1L, "aaa ab"), (2L, "aaa aaa b")).toDF("doc_id", "text")
+    val got = Tokenizer.bpeEncode(corpus, "doc_id", "text", nMerges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 5L, 4L, 1L),   // aaa(3ch→2tok) + ab(2ch→2tok)
+      (2L, 3L, 7L, 5L, 2L)))  // aaa×2(→2tok each) + b(1)
+  }
+
+  test("bpeEncodeChecked totals match the fit log and bounds hold") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Tokenizer.bpeEncodeChecked(docs, "doc_id", "text", nMerges = 8)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4) &&
+      r.getBoolean(5)))
+  }
+
   test("graph_butterflies refuses an over-limit wedge join by name") {
     val e = intercept[IllegalArgumentException] {
       graft.queries.EtlQueries.graphButterflies(spark,
