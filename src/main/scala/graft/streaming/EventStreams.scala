@@ -251,7 +251,81 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Watermark late-data accounting — replay the events as an
+   * out-of-order stream with a KNOWN late cohort and emit the
+   * append-mode windowed aggregate, whose content is then a pure
+   * function of Spark's watermark semantics: which rows were dropped
+   * as too-late, and which windows finalized. Because every step of
+   * the replay is deterministic and SQL-expressible, the DuckDB
+   * oracle models the whole trajectory exactly — this is the
+   * strongest check in the streaming group (stream_window_agg proves
+   * batch/stream plan parity; this proves the LATENESS semantics).
+   *
+   * Replay layout: three contiguous event-time slices (integer
+   * tercile arithmetic, engine-exact) arrive in order; rows of the
+   * late cohort (`user_id % 7 = 0` in the first two terciles) are
+   * withheld and arrive LAST. With `maxFilesPerTrigger=1` and
+   * explicit file mtimes the four microbatches are deterministic:
+   *  - batches 1–3 drop nothing (slices are contiguous, delay > 0);
+   *  - batch 4's late rows are dropped iff their window closed under
+   *    the watermark APPLIED to that batch — which, by Spark's
+   *    one-batch watermark lag (the offset-log watermark for batch N
+   *    reflects data through batch N−2), is max(terciles 0–1) − 1 h,
+   *    not the global on-time max;
+   *  - the no-data batch then finalizes every window with
+   *    window_end ≤ the final watermark (global max − 1 h).
+   *
+   * At scale this is the standard reprocessing-safety probe: the
+   * emitted relation + the late-drop rule reconcile the stream
+   * against its batch mirror row-for-row.
+   */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val ev = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val bounds = ev.agg(min(us).as("mn"), max(us).as("mx")).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val span = mx - mn + 1
+    val slice = least(lit(2L),
+      expr(s"((unix_micros(ts) - ${mn}L) * 3) div ${span}L"))
+    val moved = (col("user_id") % 7 === 0) && (slice < 2)
+    val withFile = ev.withColumn("f", when(moved, lit(3L)).otherwise(slice))
+    val streamDir = new java.io.File(s"$work/stream")
+    streamDir.mkdirs()
+    (0 to 3).foreach { i =>
+      val part = s"$work/tmp$i"
+      withFile.filter(col("f") === i).drop("f")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"f$i.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      // the file source replays in modification-time order — pin it
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val name = s"graft_stream_late_${counter.incrementAndGet()}"
+    val q = withStatePartitions(spark, 8) {
+      stream.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(12,2)")).cast("double"), 4)
+            .as("total_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).orderBy(col("window_start_us"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_data" -> ((s, d) => streamLateData(s, d)),
     "stream_cdc" -> ((s, d) => streamCdcApply(s, d)),
     "stream_stream_join" -> ((s, d) => streamStreamJoin(s, d)),
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
@@ -260,6 +334,37 @@ object EventStreams {
     "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    // stream_late_data: the emitted append-mode relation is a pure
+    // function of the watermark trajectory. Two empirically-pinned
+    // Spark semantics are modeled exactly: (a) the watermark applied
+    // to batch N reflects data through batch N-2 (the one-batch lag of
+    // the offset-log watermark), so the late batch is filtered by
+    // max(on-time terciles 0-1) - 1h, not the global on-time max;
+    // (b) a window finalizes once window_end <= final watermark
+    // (global max - 1h, which the no-data batch reaches). A late row
+    // thus contributes iff its window survived the lagged drop AND
+    // finalized. A semantics bug (late rows accepted into evicted
+    // state) would re-emit a window and break the row/hash compare.
+    "stream_late_data" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |           FROM events),
+        |e AS (SELECT ts, user_id, event_type, value,
+        |        epoch_us(date_trunc('hour', ts)) + 3600000000 AS wend,
+        |        (user_id % 7 = 0 AND
+        |         least(2, ((epoch_us(ts) - b.mn) * 3) // (b.mx - b.mn + 1)) < 2)
+        |          AS moved
+        |      FROM events, b),
+        |wm AS (SELECT max(CASE WHEN NOT e.moved AND
+        |           least(2, ((epoch_us(ts) - b.mn) * 3) // (b.mx - b.mn + 1)) <= 1
+        |           THEN epoch_us(ts) END) - 3600000000 AS drop_wm,
+        |         max(epoch_us(ts)) - 3600000000 AS final_wm
+        |       FROM e, b),
+        |k AS (SELECT * FROM e, wm
+        |      WHERE (NOT moved OR wend > wm.drop_wm) AND wend <= wm.final_wm)
+        |SELECT wend - 3600000000 AS window_start_us, event_type,
+        | count(*) AS n_events,
+        | round((sum(CAST(value AS DECIMAL(12,2))))::DOUBLE, 4) AS total_value
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_cdc" ->
       """WITH r AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
         |  row_number() OVER (PARTITION BY user_id
