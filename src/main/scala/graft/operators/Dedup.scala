@@ -566,6 +566,88 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** The k MinHash signature components as one array column (same
+    * seeded xxhash64 stream as minhashLshPairsFromShingles) plus the
+    * per-band LSH bucket ids — shared by the persisted band index's
+    * write and probe sides so they can never drift. */
+  private def minhashBanded(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = sh.groupBy(col("doc"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
+    sigs.select(col("doc"),
+      array((0 until k).map(i => col(s"sig_$i")): _*).as("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Persisted MinHash band index — the INCREMENTAL half of the dedup
+   * story: at 100 TB you dedup each incoming batch against the
+   * standing corpus without re-shingling the corpus, so the corpus'
+   * banded signatures are materialized ONCE as a parquet layout the
+   * probe can open selectively.
+   *
+   * Layout: one row per (doc, band, bucket) with the full signature
+   * array along for est_jaccard at probe time, PARTITIONED BY
+   * (band, bucket_p) where bucket_p = bucket mod `bucketDirs` folds
+   * the 64-bit bucket space to a bounded directory count. A probe
+   * prunes at file-listing time to the batch's (band, bucket_p)
+   * pairs — at most bands × bucketDirs directories exist, so the
+   * literal predicate is model-parameter-sized no matter the corpus;
+   * the exact 64-bit bucket match happens inside the pruned scan.
+   * A production deploy sizes bucketDirs so each directory holds a
+   * few files (like shuffle-partition sizing); the fold changes only
+   * the pruning granularity, never candidates.
+   */
+  def minhashIndexWrite(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketDirs: Int = 64): Unit =
+    minhashBanded(shingleHashes(df, idCol, textCol, n), bands, rowsPerBand)
+      .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong)))
+      .write.mode("overwrite").partitionBy("band", "bucket_p").parquet(path)
+
+  /**
+   * Probe the persisted index with a batch of new documents: shingle
+   * and sign ONLY the batch, collect its distinct (band, bucket_p)
+   * pairs (bounded by bands × bucketDirs — model-parameter-sized, the
+   * same class as a centroid collect), prune the index scan to those
+   * directories with a literal predicate, and equi-join on the full
+   * 64-bit bucket. Every surviving (new, corpus) candidate carries
+   * `est_jaccard` = fraction of agreeing signature components, so the
+   * caller can threshold without touching corpus text.
+   */
+  def minhashProbe(newDocs: DataFrame, path: String, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketDirs: Int = 64): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded = materialize(
+      minhashBanded(shingleHashes(newDocs, idCol, textCol, n),
+        bands, rowsPerBand)
+        .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong))))
+    val pairs = banded.select(col("band"), col("bucket_p")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byBand = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val pred = byBand.map { case (b, ps) =>
+      col("band") === b && col("bucket_p").isin(ps: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val index = newDocs.sparkSession.read.parquet(path).filter(pred)
+    banded.as("a").join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("new_id"), col("b.doc").as("corpus_id"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+      .select(col("new_id"), col("corpus_id"),
+        round(aggregate(
+          zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6).as("est_jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.dotd

@@ -201,7 +201,39 @@ object TrainingDataQueries {
         (sum(when(col("ev") > 0, 1L).otherwise(0L)) > 0).as("nonempty"))
   }
 
+  /**
+   * Self-checking form of the persisted MinHash band index: treat
+   * every tenth document as an incoming batch, index the rest, probe,
+   * and fold recall against the exact cross-corpus Jaccard pairs into
+   * an oracle-assertable row. Banding at 16×4 misses a J≥0.8 pair
+   * w.p. (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴, so the 0.95 floor has huge margin.
+   */
+  def minhashIndexChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").toString + "/idx"
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
+    val probed = Dedup.minhashProbe(incoming, path, "doc_id", "text")
+    val exactCross = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+        when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("corpus_id"))
+    exactCross
+      .join(probed.select(col("new_id"), col("corpus_id"))
+        .withColumn("hit", lit(1)), Seq("new_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact_cross"),
+        (count(col("hit")) >= count(lit(1)) * 0.95).as("within_bound"),
+        // anti-vacuity: the floor is trivially true over an empty
+        // exact set; the oracle pins TRUE so emptied testdata fails
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_index" -> minhashIndexChecked _,
     "window_dedup" -> ((s, d) =>
       Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
     "doc_logprob" -> ((s, d) =>
@@ -481,6 +513,28 @@ object TrainingDataQueries {
     // side's count in SQL and asserts the bound flags are all-true —
     // a recall drop below the spec'd floor (or an estimator outside
     // its error bar, or a banding/brute mismatch) flips the hash.
+    // minhash_index: oracle recomputes the exact cross-corpus pair
+    // count (incoming = doc_id % 10 = 0 vs the indexed rest) and pins
+    // the probe's recall-floor flag TRUE
+    "minhash_index" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8
+        |          AND (id1 % 10 = 0) != (id2 % 10 = 0))
+        |SELECT count(*) AS n_exact_cross, TRUE AS within_bound,
+        | TRUE AS nonempty
+        |FROM prs""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
