@@ -58,4 +58,57 @@ object Robust {
           .as("robust_z"))
       .orderBy(col(idCol))
   }
+
+  /**
+   * Embedding-space outlier screen — flag vectors far from the corpus
+   * centroid by robust (median/MAD) distance statistics: the
+   * off-manifold/noise detector a curation pipeline runs before
+   * semantic dedup or clustering trusts the embeddings. Every row is
+   * returned with its score (not just outliers), so the screen
+   * doubles as a ranking signal.
+   *
+   * Scale shape: the centroid is ONE per-dim aggregate (dim-keyed,
+   * `dim` rows out) collected as model parameters — the same class as
+   * k-means centroids — and re-enters the scan as a literal array, so
+   * the distance pass is a single codegen'd projection with no join.
+   * The median/MAD pair reuses the distributed exact-percentile
+   * operator (nothing group-sized ever buffers). Distances are
+   * rounded to 6 BEFORE the quantiles so both engines rank an
+   * identical multiset — the robust stats are then exactly
+   * reproducible, not merely close.
+   */
+  def embeddingOutlierScores(df: DataFrame, idCol: String, vecCol: String,
+      zThreshold: Double = 3.5): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val d = df.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val cArr = d.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avg(col("x")).as("cx"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val cv = array(cArr.map(lit): _*)
+    val cn = math.sqrt(cArr.map(x => x * x).sum)
+    val scored = d
+      .withColumn("cos", round(
+        dotd(col("v"), cv) / (sqrt(dotd(col("v"), col("v"))) * lit(cn)), 6))
+      .withColumn("cdist", round(lit(1.0) - col("cos"), 6))
+      .select(col(idCol), col("cos"), col("cdist"))
+    val med = Quantiles.exactPercentilesByGroup(
+      scored.withColumn("_g", lit(1)), "_g", "cdist", Seq(idCol),
+      Seq(("med", 0.5)))
+    val withMed = scored.withColumn("_g", lit(1))
+      .join(broadcast(med), Seq("_g"))
+      .withColumn("adev", abs(col("cdist") - col("med")))
+    val mad = Quantiles.exactPercentilesByGroup(
+      withMed.select(col("_g"), col(idCol), col("adev")),
+      "_g", "adev", Seq(idCol), Seq(("mad", 0.5)))
+    withMed.join(broadcast(mad), Seq("_g"))
+      .select(col(idCol), col("cos"), col("cdist"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        (col("mad") > 0 &&
+          col("adev") > lit(zThreshold * 1.4826) * col("mad")).as("is_outlier"),
+        when(col("mad") > 0,
+          round((col("cdist") - col("med")) / (lit(1.4826) * col("mad")), 4))
+          .as("robust_z"))
+      .orderBy(col(idCol))
+  }
 }

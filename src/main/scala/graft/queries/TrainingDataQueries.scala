@@ -234,6 +234,9 @@ object TrainingDataQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_index" -> minhashIndexChecked _,
+    "embedding_outliers" -> ((s, d) =>
+      graft.operators.Robust.embeddingOutlierScores(
+        Tables.embeddings(s, d), "vec_id", "embedding")),
     "window_dedup" -> ((s, d) =>
       Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
     "doc_logprob" -> ((s, d) =>
@@ -513,6 +516,28 @@ object TrainingDataQueries {
     // side's count in SQL and asserts the bound flags are all-true —
     // a recall drop below the spec'd floor (or an estimator outside
     // its error bar, or a banding/brute mismatch) flips the hash.
+    // embedding_outliers: exact mirror — distances are rounded to 6
+    // before the quantiles, so both engines take median/MAD over an
+    // identical multiset and the robust stats reproduce exactly
+    "embedding_outliers" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT i AS dim, avg(v[i]) AS cx
+        |      FROM v, unnest(range(1, len(v) + 1)) t(i) GROUP BY 1),
+        |cent AS (SELECT list(cx ORDER BY dim) AS cv FROM c),
+        |s AS (SELECT vec_id,
+        |        round(list_cosine_similarity(v, cent.cv), 6) AS cos
+        |      FROM v, cent),
+        |sd AS (SELECT vec_id, cos, round(1.0 - cos, 6) AS cdist FROM s),
+        |m AS (SELECT quantile_cont(cdist, 0.5) AS med FROM sd),
+        |a AS (SELECT vec_id, cos, cdist, m.med,
+        |        abs(cdist - m.med) AS adev FROM sd, m),
+        |md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM a)
+        |SELECT vec_id, cos, cdist,
+        | round(a.med, 6) AS med, round(md.mad, 6) AS mad,
+        | (md.mad > 0 AND adev > 3.5 * 1.4826 * md.mad) AS is_outlier,
+        | CASE WHEN md.mad > 0
+        |      THEN round((cdist - a.med) / (1.4826 * md.mad), 4) END AS robust_z
+        |FROM a, md ORDER BY vec_id""".stripMargin,
     // minhash_index: oracle recomputes the exact cross-corpus pair
     // count (incoming = doc_id % 10 = 0 vs the indexed rest) and pins
     // the probe's recall-floor flag TRUE

@@ -89,4 +89,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 5.5 && r.getDouble(4) == 2.5)
     assert(math.abs(r.getDouble(5) - 94.5 / (1.4826 * 2.5)) < 1e-3)
   }
+
+  test("embeddingOutlierScores flags a planted far-off vector, scores all rows") {
+    // 20 vectors near e1 (tiny jitter on dim 2 keeps MAD > 0), one
+    // anti-aligned vector planted far off the manifold
+    val near = (0L until 20L).map { i =>
+      (i, Array(1.0f, 0.001f * (i % 5), 0.0f, 0.0f))
+    }
+    val planted = Seq((99L, Array(-1.0f, 0.5f, 0.0f, 0.0f)))
+    val df = (near ++ planted).toDF("vec_id", "embedding")
+    val got = Robust.embeddingOutlierScores(df, "vec_id", "embedding")
+      .collect()
+    assert(got.length == 21) // every row scored
+    val flagged = got.filter(_.getBoolean(5)).map(_.getLong(0)).toSeq
+    assert(flagged == Seq(99L))
+    // determinism across reruns (centroid collect + quantile path)
+    val again = Robust.embeddingOutlierScores(df, "vec_id", "embedding")
+      .collect()
+    assert(got.toSeq == again.toSeq)
+  }
 }
