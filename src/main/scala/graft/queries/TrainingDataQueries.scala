@@ -202,6 +202,47 @@ object TrainingDataQueries {
   }
 
   /**
+   * Incremental connected components — fold a batch of NEW near-dup
+   * edges into PRIOR component labels without recomputing the graph
+   * from scratch: the prior labeling re-enters as star edges
+   * (node → component), so old structure is already depth-1 and the
+   * label-propagation loop converges in about one round regardless of
+   * how deep the original components were. With the persisted MinHash
+   * index supplying each batch's new edges, this closes the
+   * incremental dedup loop at 100 TB: index probe → new pairs →
+   * label merge, never re-touching corpus text or old pair joins.
+   *
+   * The registry form splits the exact pair set deterministically
+   * (parity of id1+id2) into "prior" and "new" batches and outputs the
+   * merged labeling — which must EQUAL the from-scratch labeling, so
+   * the full-recompute recursive-CTE oracle checks the incremental
+   * path end-to-end.
+   */
+  def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      .select(col("id1"), col("id2"))
+    val old = pairs.filter((col("id1") + col("id2")) % 2 === 0)
+    val fresh = pairs.filter((col("id1") + col("id2")) % 2 =!= 0)
+    val prior = Dedup.connectedComponents(old, "id1", "id2")
+    val starEdges = prior.select(col("node").as("id1"),
+      col("component").as("id2"))
+    val comp = Dedup.connectedComponents(
+        starEdges.unionByName(fresh), "id1", "id2")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    labeled
+      .withColumn("comp_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .select(col("doc_id"), col("component"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Self-checking form of the persisted MinHash band index: treat
    * every tenth document as an incoming batch, index the rest, probe,
    * and fold recall against the exact cross-corpus Jaccard pairs into
@@ -234,6 +275,7 @@ object TrainingDataQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_index" -> minhashIndexChecked _,
+    "cc_incremental" -> ccIncremental _,
     "embedding_outliers" -> ((s, d) =>
       graft.operators.Robust.embeddingOutlierScores(
         Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -365,6 +407,33 @@ object TrainingDataQueries {
         docs.select(col("doc_id"), col("source")).join(q, "doc_id"),
         "doc_id", "source", "quality")
     }))
+
+  private val fullCcOracleSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
+        |und AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+        |reach(u, v) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |szs AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.component, s.comp_size
+        |FROM lab l JOIN szs s USING (component) ORDER BY l.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "window_dedup" ->
@@ -612,32 +681,11 @@ object TrainingDataQueries {
         | e.vec_id = coalesce(c.component, e.vec_id) AS is_canonical
         |FROM embeddings e LEFT JOIN comp c USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
-    "dedup_components" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |           FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id AS doc,
-        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
-        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
-        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
-        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
-        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
-        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
-        |         GROUP BY 1, 2),
-        |prs AS (SELECT id1, id2 FROM ints
-        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
-        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
-        |und AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
-        |reach(u, v) AS (
-        |  SELECT DISTINCT u, u FROM und
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
-        |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-        |szs AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
-        |SELECT l.doc_id, l.component, s.comp_size
-        |FROM lab l JOIN szs s USING (component) ORDER BY l.doc_id""".stripMargin,
+    "dedup_components" -> fullCcOracleSql,
+    // cc_incremental merges a prior labeling with a new edge batch and
+    // must converge to the SAME canonical labels as the from-scratch
+    // computation — one oracle checks both paths
+    "cc_incremental" -> fullCcOracleSql,
     "corpus_curate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
