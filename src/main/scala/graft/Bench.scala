@@ -53,10 +53,11 @@ object Bench {
       .replaceAll("Location: [^\\n]+", "Location: x")
       .replaceAll("rowCount=\\d+", "rowCount=x")
       .replaceAll("LocalTableScan \\[[^\\]]*\\]", "LocalTableScan [x]")
-      // lambda variable names (`lambda x_15`) come from a session-global
-      // counter that advances per query CONSTRUCTION — two runs of the
-      // same query get different names. Pure noise, never a plan change.
-      .replaceAll("lambda x_\\d+", "lambda x_N")
+      // lambda variable names (`lambda x_15`, and `y_15` for a
+      // two-arg zip_with) come from a session-global counter that
+      // advances per query CONSTRUCTION — two runs of the same query
+      // get different names. Pure noise, never a plan change.
+      .replaceAll("lambda ([a-z])_\\d+", "lambda $1_N")
       // JVM synthetic lambda class names in typed-operator toStrings
       // (`MapPartitions graft...$$Lambda$2602/0x00007f11...`): the
       // index and address are per-JVM, the enclosing class is not.
