@@ -329,6 +329,11 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(corpus.select(col("fv")))
     model.transform(corpus).drop("fv")
+      // cluster rows by their target directory first — otherwise every
+      // shuffle partition writes a file into every cluster directory
+      // it touches (parallelism × nCentroids small files + commits;
+      // see minhashIndexWrite for the measured cost of that shape)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
     // centroids: model parameters, one row per (cluster, dim, value)
     val spark = df.sparkSession
@@ -802,6 +807,8 @@ object Similarity {
             shiftright(col("code"), b * planesPerBand)
               .bitwiseAND(lit((1 << planesPerBand) - 1))
           }: _*)).as(Seq("band", "bucket"))): _*)
+      // cluster rows by target directory (see minhashIndexWrite)
+      .repartition(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
   }
 
