@@ -53,12 +53,43 @@ object TemporalQueries {
         col("is_current"))
       .orderBy(col("user_id"), col("from_us"))
 
+  /**
+   * Sliding (hopping) windows — 1-hour windows every 15 minutes, the
+   * overlap shape trend dashboards aggregate on. Spark's `window`
+   * with a slide plans one Expand of windowDuration/slide = 4 rows
+   * per event before the keyed aggregate; unlike `.cube` that factor
+   * is inherent to the semantics (each event IS in 4 windows), so the
+   * Expand stays on the scan and the aggregate shuffles (window,
+   * type) partials. Values sum as DECIMAL (exact at any partitioning)
+   * and surface as epoch-µs so the oracle compare is precision-free.
+   */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")).cast("double"), 4)
+          .as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofPrevOrder _,
     "range_join" -> eventPairsWithin _,
+    "q_sliding_window" -> slidingWindowAgg _,
     "q_scd2" -> scd2EventType _)
 
   val oracleSql: Map[String, String] = Map(
+    // each event lands in exactly 4 of the epoch-aligned 15-minute
+    // hop starts: floor15(ts) − i·15min for i ∈ 0..3
+    "q_sliding_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT event_type, value,
+        |        (us // 900000000 - i) * 900000000 AS window_start_us
+        |      FROM e, unnest(range(0, 4)) t(i))
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        | round((sum(CAST(value AS DECIMAL(12,2))))::DOUBLE, 4) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "asof_join" ->
       """SELECT o_orderkey, o_custkey,
         | epoch_us(o_orderdate) AS order_date_us,
