@@ -282,6 +282,53 @@ object Curation {
   }
 
   /**
+   * PSI drift monitor — population stability index between a
+   * reference corpus snapshot and the current one, per feature
+   * bucket: the standard "did yesterday's distribution shift?" alarm
+   * a data pipeline runs before letting a new batch into training.
+   * PSI = Σ_b (q_b − p_b)·ln(q_b/p_b) with p from the reference and q
+   * from the current snapshot (add-one smoothed over `buckets`);
+   * > 0.1 is the conventional moderate-drift alarm.
+   *
+   * Scale shape: each side collapses to a `buckets`-row count in one
+   * keyed aggregate with map-side partials; everything after runs on
+   * bounded relations (outer-join on bucket id, 1-row totals by
+   * broadcast). Determinism: per-bucket contributions are scaled to
+   * integer ppm (one ln from exact counts), so the total is an
+   * order-independent integer sum both engines agree on exactly.
+   *
+   * @param bucket bucketing expression over a row (e.g.
+   *               `col("n_chars") / 120`); values clamp to
+   *               [0, buckets)
+   */
+  def psiDrift(reference: DataFrame, current: DataFrame, bucket: Column,
+      buckets: Int = 10, alarmPpm: Long = 100000L): DataFrame = {
+    require(buckets > 1, "need at least two buckets")
+    def side(df: DataFrame, as: String): DataFrame =
+      df.select(least(lit(buckets - 1).cast("long"),
+          greatest(lit(0L), bucket.cast("long"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val joined = side(reference, "n_ref")
+      .join(side(current, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).cast("double").as("rt"),
+      sum(col("n_cur")).cast("double").as("ct"))
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("p", (col("n_ref") + 1).cast("double") / (col("rt") + buckets))
+      .withColumn("q", (col("n_cur") + 1).cast("double") / (col("ct") + buckets))
+      .withColumn("psi_ppm",
+        round((col("q") - col("p")) * log(col("q") / col("p")) * 1e6, 0)
+          .cast("long"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_ppm"))
+    val total = scored.agg(sum(col("psi_ppm")).as("total_psi_ppm"))
+    scored.crossJoin(broadcast(total))
+      .withColumn("drifted", col("total_psi_ppm") > alarmPpm)
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * DSIR-style importance weights — data selection with importance
    * resampling (Xie et al. 2023, arXiv:2302.03169): score every raw
    * document by how target-like it is under hashed n-gram bag-of-words

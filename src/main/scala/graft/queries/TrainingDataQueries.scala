@@ -276,6 +276,13 @@ object TrainingDataQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_index" -> minhashIndexChecked _,
     "cc_incremental" -> ccIncremental _,
+    "corpus_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        expr("n_chars div 120"), buckets = 10)
+    }),
     "embedding_outliers" -> ((s, d) =>
       graft.operators.Robust.embeddingOutlierScores(
         Tables.embeddings(s, d), "vec_id", "embedding")),
@@ -585,6 +592,33 @@ object TrainingDataQueries {
     // side's count in SQL and asserts the bound flags are all-true —
     // a recall drop below the spec'd floor (or an estimator outside
     // its error bar, or a banding/brute mismatch) flips the hash.
+    // corpus_drift: exact mirror — per-bucket PSI contributions scale
+    // to integer ppm (one ln from exact counts), the total is an
+    // order-independent integer sum
+    "corpus_drift" ->
+      """WITH r AS (SELECT least(9, greatest(0, n_chars // 120)) AS bucket,
+        |             count(*) AS n_ref
+        |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT least(9, greatest(0, n_chars // 120)) AS bucket,
+        |        count(*) AS n_cur
+        |      FROM documents WHERE doc_id % 2 != 0 GROUP BY 1),
+        |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS rt,
+        |        CAST(sum(n_cur) AS DOUBLE) AS ct FROM j),
+        |s AS (SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |        CAST(n_cur AS BIGINT) AS n_cur,
+        |        CAST(round(((n_cur + 1)::DOUBLE / (t.ct + 10)
+        |                    - (n_ref + 1)::DOUBLE / (t.rt + 10))
+        |          * ln(((n_cur + 1)::DOUBLE / (t.ct + 10)) /
+        |               ((n_ref + 1)::DOUBLE / (t.rt + 10))) * 1e6, 0) AS BIGINT)
+        |          AS psi_ppm
+        |      FROM j, t),
+        |tot AS (SELECT CAST(sum(psi_ppm) AS BIGINT) AS total_psi_ppm FROM s)
+        |SELECT s.bucket, s.n_ref, s.n_cur, s.psi_ppm, tot.total_psi_ppm,
+        | tot.total_psi_ppm > 100000 AS drifted
+        |FROM s, tot ORDER BY s.bucket""".stripMargin,
     // embedding_outliers: exact mirror — distances are rounded to 6
     // before the quantiles, so both engines take median/MAD over an
     // identical multiset and the robust stats reproduce exactly

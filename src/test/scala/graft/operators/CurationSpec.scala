@@ -133,6 +133,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._4 == (v._3 > 0)))
   }
 
+  test("psiDrift alarms on a planted shift and stays quiet on resampling") {
+    val ref = (0L until 400L).map(i => Tuple1(i % 10)).toDF("b")
+    // same distribution, different sample size → tiny PSI, no alarm
+    val same = (0L until 200L).map(i => Tuple1(i % 10)).toDF("b")
+    val quiet = Curation.psiDrift(ref, same, col("b"), buckets = 10).collect()
+    assert(quiet.length == 10)
+    assert(quiet.forall(!_.getBoolean(5)))
+    // mass collapses onto two buckets → large PSI, alarm on every row
+    val shifted = (0L until 200L).map(i => Tuple1(i % 2)).toDF("b")
+    val loud = Curation.psiDrift(ref, shifted, col("b"), buckets = 10).collect()
+    assert(loud.forall(_.getBoolean(5)))
+    // the total is the sum of the per-bucket contributions, exactly
+    val total = loud.head.getLong(4)
+    assert(total == loud.map(_.getLong(3)).sum)
+    assert(total > 100000L)
+  }
+
   test("dsir weights are deterministic and integer-exact across reruns") {
     val df = (0L until 60L).map(i =>
       (i, (0 to 6).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "),
