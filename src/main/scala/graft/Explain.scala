@@ -27,7 +27,15 @@ object Explain {
         case "simple" => org.apache.spark.sql.execution.SimpleMode
         case _ => org.apache.spark.sql.execution.FormattedMode
       }
-      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(mode))
+      // GRAFT_EXPLAIN_EXEC=1 runs the query first and prints the
+      // POST-AQE executed plan (ReusedExchange/QueryStage visible)
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (sys.env.contains("GRAFT_EXPLAIN_EXEC")) {
+          df.collect()
+          println(df.queryExecution.executedPlan.toString)
+        } else println(df.queryExecution.explainString(mode))
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

@@ -376,8 +376,14 @@ object Curation {
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(col("feat").cast("binary")), 1, 8), 16, 10)
           .cast("long") % buckets).as("bucket"))
-    val docBucket = feats.groupBy(col("doc_id"), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    // materialized (Dedup.materialize contract, conf-gated): the
+    // (doc, bucket) counts feed FOUR consumers (bucket marginals,
+    // totals, llr, final join) across separate query stages whose
+    // broadcast subplans AQE cannot reuse — unmaterialized, the text
+    // explode pipeline runs five times (measured in the executed plan)
+    val docBucket = Dedup.materialize(
+      feats.groupBy(col("doc_id"), col("is_target"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
     val bucketStats = docBucket.groupBy(col("bucket"))
       .agg(sum(col("c")).as("cnt_r"),
         sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("cnt_t"))
