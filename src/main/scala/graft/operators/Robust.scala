@@ -39,9 +39,16 @@ object Robust {
    */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, zThreshold: Double = 3.5): DataFrame = {
-    val base = df
+    // materialized (Dedup.materialize contract, conf-gated): the two
+    // percentile passes and the scoring join each re-derive this
+    // narrow projection — and each percentile pass itself reads its
+    // input from several branches (slice sample, offsets, ranking).
+    // Unmaterialized, the executed plan scans the source 21 times;
+    // frozen, once. Also pins the deterministic-input precondition
+    // RangeSlice documents.
+    val base = Dedup.materialize(df
       .select(col(groupCol), col(idCol), col(valueCol).cast("double").as("_rv"))
-      .filter(col("_rv").isNotNull)
+      .filter(col("_rv").isNotNull))
     val med = Quantiles.exactPercentilesByGroup(
       base, groupCol, "_rv", Seq(idCol), Seq(("med", 0.5)))
     val withMed = base.join(broadcast(med), Seq(groupCol))
@@ -87,11 +94,12 @@ object Robust {
       .orderBy(col("dim")).collect().map(_.getDouble(1))
     val cv = array(cArr.map(lit): _*)
     val cn = math.sqrt(cArr.map(x => x * x).sum)
-    val scored = d
+    // materialized for the same multi-consumer reason as madOutliers
+    val scored = Dedup.materialize(d
       .withColumn("cos", round(
         dotd(col("v"), cv) / (sqrt(dotd(col("v"), col("v"))) * lit(cn)), 6))
       .withColumn("cdist", round(lit(1.0) - col("cos"), 6))
-      .select(col(idCol), col("cos"), col("cdist"))
+      .select(col(idCol), col("cos"), col("cdist")))
     val med = Quantiles.exactPercentilesByGroup(
       scored.withColumn("_g", lit(1)), "_g", "cdist", Seq(idCol),
       Seq(("med", 0.5)))
