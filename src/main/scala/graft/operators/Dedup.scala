@@ -35,7 +35,7 @@ object Dedup {
    *    `spark.graft.materialize=none` (recompute per consumer, fully
    *    fault-tolerant) or checkpoint to reliable storage yourself.
    */
-  private[operators] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.materialize")
       .getOrElse("localCheckpoint") match {
       case "none" => df

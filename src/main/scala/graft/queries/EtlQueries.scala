@@ -299,10 +299,14 @@ object EtlQueries {
    */
   def graphButterflies(spark: SparkSession, dir: String,
       maxWedges: Long = 2000000000L): DataFrame = {
-    def edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    // materialized (conf-gated): the degree pass plus BOTH sides of
+    // the wedge self-join re-derive the distinct edge list — six
+    // fact-join scans in the executed plan without it, one with
+    val edges = graft.operators.Dedup.materialize(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct())
     // degree pass: n_edges + the exact wedge total (model-parameter
     // sized result, one bounded job at construction)
     val degRow = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
