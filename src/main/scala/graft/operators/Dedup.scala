@@ -636,10 +636,13 @@ object Dedup {
       minhashBanded(shingleHashes(newDocs, idCol, textCol, n),
         bands, rowsPerBand)
         .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong))))
+    // sorted: collect() order varies run-to-run, and an unsorted
+    // literal predicate is a different plan TEXT each run — a false
+    // "plan flip" under fingerprinting (and cache-unfriendly besides)
     val pairs = banded.select(col("band"), col("bucket_p")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
     val byBand = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val pred = byBand.map { case (b, ps) =>
+    val pred = byBand.toSeq.sortBy(_._1).map { case (b, ps) =>
       col("band") === b && col("bucket_p").isin(ps: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
     val index = newDocs.sparkSession.read.parquet(path).filter(pred)
