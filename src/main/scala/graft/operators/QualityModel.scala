@@ -124,9 +124,13 @@ object QualityModel {
     val docs = graft.Tables.documents(spark, dir)
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality"))
-    val labeled = featurize(docs, "doc_id", "text")
+    // materialized (Dedup.materialize contract, conf-gated): the
+    // regex-heavy featurize+quality pipeline feeds the MLlib fit, the
+    // held-out scoring/AUC passes, and the final fold — each would
+    // re-run it from the text otherwise
+    val labeled = Dedup.materialize(featurize(docs, "doc_id", "text")
       .join(q, "doc_id")
-      .withColumn("label", (col("quality") >= 0.5).cast("int"))
+      .withColumn("label", (col("quality") >= 0.5).cast("int")))
     val (coef, b) = fit(labeled.filter(col("doc_id") % 2 === 0))
     val heldOut = score(labeled.filter(col("doc_id") % 2 =!= 0), coef, b)
     val a = auc(heldOut, "label")
