@@ -646,7 +646,12 @@ object Dedup {
       col("band") === b && col("bucket_p").isin(ps: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
     val index = newDocs.sparkSession.read.parquet(path).filter(pred)
-    banded.as("a").join(index.as("b"),
+    // shuffle-hash-pinned: at test SF both sides of the bucket join sit
+    // near the broadcast threshold and an unhinted join lets AQE pick
+    // the build side by stage-arrival order — a genuine run-to-run plan
+    // flip (the dedup_components class). The hint is also the honest
+    // 100 TB shape: both sides are data-sized, keyed on the bucket.
+    banded.as("a").join(index.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc").as("new_id"), col("b.doc").as("corpus_id"),
         col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))

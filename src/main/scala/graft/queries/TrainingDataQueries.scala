@@ -263,9 +263,12 @@ object TrainingDataQueries {
       .select(
         when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
         when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("corpus_id"))
+    // shuffle-hash-pinned: both sides are pair-count-sized and an
+    // unhinted tiny join races AQE's build-side choice (plan flip)
     exactCross
       .join(probed.select(col("new_id"), col("corpus_id"))
-        .withColumn("hit", lit(1)), Seq("new_id", "corpus_id"), "left")
+        .withColumn("hit", lit(1)).hint("shuffle_hash"),
+        Seq("new_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact_cross"),
         (count(col("hit")) >= count(lit(1)) * 0.95).as("within_bound"),
         // anti-vacuity: the floor is trivially true over an empty
