@@ -432,6 +432,26 @@ object RelationalQueries {
       .orderBy(asc_nulls_first("status"), asc_nulls_first("yr"))
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize
+    * (here: by-status, by-year, and grand-total marginals WITHOUT the
+    * (status, yr) cross that cube would add), plus `grouping_id()` so
+    * consumers can tell a NULL group key from a real NULL. Same
+    * pre-aggregation shape as q_cube: the Expand multiplies the
+    * exact-group aggregate (a few dozen rows), never the scan. */
+  def groupingSetsStatusYear(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("pt"))
+      .createOrReplaceTempView("graft_grouping_sets_pre")
+    spark.sql(
+      """SELECT status, yr, sum(pn) AS n, round(sum(pt), 2) AS total,
+        | CAST(grouping_id() AS BIGINT) AS gid
+        |FROM graft_grouping_sets_pre
+        |GROUP BY GROUPING SETS ((status), (yr), ())
+        |ORDER BY gid, status NULLS FIRST, yr NULLS FIRST""".stripMargin)
+  }
+
   /** Table profile: row count, per-column distincts and ranges — the
     * data-quality survey every pipeline runs first. The ndv counts are
     * SEPARATE single-distinct aggregates composed as broadcast 1-row
@@ -633,6 +653,7 @@ object RelationalQueries {
     "q_upsert_merge" -> upsertMerge _,
     "latest_by_key" -> latestByKey _,
     "q_cube" -> cubeStatusYear _,
+    "q_grouping_sets" -> groupingSetsStatusYear _,
     "profile_table" -> profileTable _,
     "q_funnel" -> funnel _,
     "q_histogram" -> histogram _,
@@ -735,6 +756,13 @@ object RelationalQueries {
         | coalesce(d.event_id, b.event_id) AS last_event_id,
         | CASE WHEN d.ts_us IS NOT NULL THEN 'delta' ELSE 'base' END AS src
         |FROM b FULL OUTER JOIN d USING (user_id) ORDER BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        | CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        |ORDER BY gid, status NULLS FIRST, yr NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
