@@ -202,6 +202,34 @@ object TrainingDataQueries {
   }
 
   /**
+   * Per-source curation profile — the domain-level screening table a
+   * corpus pipeline ranks providers by (CCNet-style per-domain
+   * filtering): document count, exact-duplicate share, token volume,
+   * and quality mass per source. Quality folds as an integer
+   * (round(quality·10⁴) — the per-doc values are already 4-decimal
+   * rounded, so the scaled sum is order-independent and engine-exact).
+   * One quality scan + one content-hash window + one source-keyed agg.
+   */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("quality"))
+    val dup = docs.select(col("doc_id"), col("source"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+          .as("n_copies"))
+    dup.join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(round(col("quality") * 10000, 0).cast("long")).as("quality_e4_sum"))
+      .withColumn("dup_pct_ppm",
+        expr("n_dup_docs * 1000000L div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Incremental connected components — fold a batch of NEW near-dup
    * edges into PRIOR component labels without recomputing the graph
    * from scratch: the prior labeling re-enters as star edges
@@ -279,6 +307,7 @@ object TrainingDataQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_index" -> minhashIndexChecked _,
     "cc_incremental" -> ccIncremental _,
+    "source_profile" -> sourceProfile _,
     "corpus_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.psiDrift(
@@ -595,6 +624,25 @@ object TrainingDataQueries {
     // side's count in SQL and asserts the bound flags are all-true —
     // a recall drop below the spec'd floor (or an estimator outside
     // its error bar, or a banding/brute mismatch) flips the hash.
+    // source_profile: exact mirror — quality mass folds as
+    // round(quality·10⁴) integers, so sums are order-independent
+    "source_profile" ->
+      """WITH w AS (SELECT doc_id, source, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, source, len(ws) AS n_words,
+        |  round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |    (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |    least(1.0, round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        | FROM w)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(count(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        | CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT)) AS BIGINT)
+        |   AS quality_e4_sum,
+        | count(CASE WHEN n_copies > 1 THEN 1 END) * 1000000 // count(*)
+        |   AS dup_pct_ppm
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     // corpus_drift: exact mirror — per-bucket PSI contributions scale
     // to integer ppm (one ln from exact counts), the total is an
     // order-independent integer sum
