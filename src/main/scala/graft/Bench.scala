@@ -186,7 +186,17 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.count(_._2._2.isDefined)
     val nFlips = results.count(_._2._3.contains("|"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"spread_pct":$spreads,"plan_flips":$nFlips,"errors":$errs,"n_errors":$nErr,"runs":$runs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"spread_pct":$spreads,"plan_flips":$nFlips,"errors":$errs,"n_errors":$nErr,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist to a stable artifact: the driver's stdout capture
+    // has truncated the per-query map before (BENCH_r08) — a file
+    // named by the SF can't lose the data
+    val sfName = new java.io.File(sfDir).getName
+    val outPath = java.nio.file.Paths.get(s"target/bench_${sfName}_last.json")
+    try {
+      java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // artifact write must not fail the bench
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -32,7 +32,12 @@ object Explain {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (sys.env.contains("GRAFT_EXPLAIN_EXEC")) {
-          df.collect()
+          // execute df's OWN QueryExecution (so the AQE plan finalizes
+          // in place) without materializing the result on the driver:
+          // toRdd runs the executed plan and count() ships only
+          // per-partition counts back — df.collect() pulled the full
+          // result set driver-side just to finalize the plan
+          df.queryExecution.toRdd.count()
           println(df.queryExecution.executedPlan.toString)
         } else println(df.queryExecution.explainString(mode))
       }

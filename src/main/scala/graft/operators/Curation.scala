@@ -308,8 +308,19 @@ object Curation {
       df.select(least(lit(buckets - 1).cast("long"),
           greatest(lit(0L), bucket.cast("long"))).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    val joined = side(reference, "n_ref")
-      .join(side(current, "n_cur"), Seq("bucket"), "full_outer")
+    // the FULL 0..buckets-1 domain, not just buckets present in a
+    // snapshot: add-one smoothing gives a bucket empty on BOTH sides
+    // a nonzero (q−p)·ln(q/p) term whenever the totals differ, so
+    // summing only over observed buckets deviates from the
+    // fixed-domain PSI definition when buckets vanish from both.
+    // Both count sides are bucket-count-sized aggregates — explicit
+    // broadcasts pin the build side (tiny-join AQE flips are the
+    // dedup_components class).
+    val domain = reference.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    val joined = domain
+      .join(broadcast(side(reference, "n_ref")), Seq("bucket"), "left")
+      .join(broadcast(side(current, "n_cur")), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

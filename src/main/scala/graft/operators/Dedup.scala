@@ -42,6 +42,35 @@ object Dedup {
       case _ => df.localCheckpoint()
     }
 
+  /**
+   * Loop-boundary materializer for ITERATIVE operators (connected
+   * components, PageRank). Unlike [[materialize]] there is no "none"
+   * option — a loop that never truncates lineage grows its plan with
+   * the iteration count — so the conf chooses WHERE the truncated
+   * state lives:
+   *  - default: `localCheckpoint` — fast, blocks in executor memory;
+   *    executor loss after materialization kills the job (fine on
+   *    local[n], a real risk on a 1000-executor cluster);
+   *  - `spark.graft.checkpointDir=<path>`: RELIABLE checkpoints to
+   *    that directory — every round persists to fault-tolerant
+   *    storage and the lineage roots there, so executor (even
+   *    driver-restart with external shuffle) loss recomputes from the
+   *    checkpoint, not from scratch. This is the deployment shape for
+   *    long CC/PageRank runs at 100 TB; CheckpointDirSpec proves the
+   *    results are identical under either setting.
+   */
+  private[graft] def materializeLoop(df: DataFrame,
+      eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dirPath) if dirPath.nonEmpty =>
+        if (!spark.sparkContext.getCheckpointDir.contains(dirPath))
+          spark.sparkContext.setCheckpointDir(dirPath)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+  }
+
   /** Exact dedup: group documents by content hash, keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -412,7 +441,8 @@ object Dedup {
     var edges = pairs.select(
         greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct()
+    edges = materializeLoop(edges)
     // convergence = identical edge SET; (count, hash-xor) is a one-job
     // order-independent set signature, vs two full except() shuffles.
     // XOR, not sum: ANSI mode makes a long hash-sum overflow fatal.
@@ -471,10 +501,10 @@ object Dedup {
       val ssRows = ls.join(ssMin, "u")
       // lazy checkpoint: the signature job below both computes the
       // iteration AND persists it — one job per round, not two
-      val ss = ssRows.filter(col("v") =!= col("m"))
+      val ss = materializeLoop(ssRows.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssRows.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(eager = false)
+        .distinct(), eager = false)
       val sig = signature(ss)
       done = sig == lastSig
       lastSig = sig
@@ -566,6 +596,64 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /**
+   * Cross-document duplicated-span TRIM — the operator real pipelines
+   * run after `dupWindowStats` measures boilerplate mass: drop every
+   * word position covered by a cross-doc duplicated window and emit
+   * the RESIDUAL document. Same duplicated-window definition as
+   * dupWindowStats (length-k word window whose exact text occurs in
+   * ≥2 distinct docs); the retained text is the surviving words in
+   * original order, space-joined over the `words()` normalization
+   * (lowercased, whitespace-split) — span offsets stay exact because
+   * trimming operates on word positions, never on raw character
+   * ranges.
+   *
+   * Scale shape: identical to dupWindowStats up to the covered-
+   * position set (codegen'd window table, one keyed agg on the window
+   * hash, pinned shuffle-hash join back); reassembly is ONE doc-keyed
+   * aggregate whose per-row state is document-bounded (collect_list
+   * of (pos, word) structs, order restored by array_sort — collection
+   * order never matters, so the plan is partitioning-independent).
+   * No stage holds more than one document's words in a row.
+   */
+  def dupWindowTrim(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window length must be >= 2, got $k")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val wordTable = materialize(df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w"))))
+    val withLeads = wordTable.select(col("doc") +: col("pos") +:
+      col("w").as("w0") +:
+      (1 until k).map(j => lead(col("w"), j).over(byDoc).as(s"w$j")): _*)
+    val wins = withLeads
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until k).map(j => col(s"w$j")): _*)).as("s"))
+    val dupW = wins.groupBy(col("s"))
+      .agg(count_distinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("s"))
+    val covered = wins.join(dupW.hint("shuffle_hash"), "s")
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val residual = wordTable
+      .join(covered, Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("retained_words"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("retained_text"))
+    df.select(col(idCol).as("doc"),
+        size(words(col(textCol))).cast("long").as("n_words"))
+      .join(residual, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_words"),
+        coalesce(col("retained_words"), lit(0L)).as("retained_words"),
+        (col("n_words") - coalesce(col("retained_words"), lit(0L)))
+          .as("covered_words"),
+        coalesce(col("retained_text"), lit("")).as("retained_text"))
+      .orderBy(col(idCol))
+  }
+
   /** The k MinHash signature components as one array column (same
     * seeded xxhash64 stream as minhashLshPairsFromShingles) plus the
     * per-band LSH bucket ids — shared by the persisted band index's
@@ -606,17 +694,52 @@ object Dedup {
   def minhashIndexWrite(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       bucketDirs: Int = 64): Unit =
+    writeIndexRows(indexRows(df, idCol, textCol, n, bands, rowsPerBand,
+      bucketDirs), path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /**
+   * APPEND a batch to a standing index — the write half of the
+   * incremental loop (`minhashProbe` is the read half): growing the
+   * corpus index by a day's batch must not rewrite the corpus, so the
+   * batch's banded signatures are appended as NEW files into only the
+   * (band, bucket_p) directories the batch touches. Pre-existing
+   * files are never opened or rewritten (parquet append is purely
+   * additive), and because the signature stream is a pure seeded
+   * function of the text, probe-after-append is EXACTLY
+   * probe-after-full-rebuild — the registry's `minhash_index_append`
+   * proves that end to end and IndexAppendSpec pins the file-level
+   * contract (untouched pre-existing files, batch-sized commit count).
+   *
+   * The (n, bands, rowsPerBand, bucketDirs) parameters MUST match the
+   * ones the index was written with — same contract as `annProbe`'s
+   * dim: a mismatch silently writes signatures no probe will find.
+   * A production deploy compacts small appended files per directory
+   * with `Layout.compact` on its own cadence.
+   */
+  def minhashIndexAppend(df: DataFrame, path: String, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketDirs: Int = 64): Unit =
+    writeIndexRows(indexRows(df, idCol, textCol, n, bands, rowsPerBand,
+      bucketDirs), path, org.apache.spark.sql.SaveMode.Append)
+
+  private def indexRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int): DataFrame =
     minhashBanded(shingleHashes(df, idCol, textCol, n), bands, rowsPerBand)
       .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong)))
+
+  private def writeIndexRows(rows: DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    rows
       // cluster rows by their target directory before the partitioned
       // write: otherwise EVERY shuffle partition writes a file into
       // every (band, bucket_p) directory it touches — up to
       // parallelism × bands × bucketDirs small files and as many
       // commit operations (measured 86s at the sf1 sweep, dominated
       // by file commits). Clustered, each directory gets the files of
-      // the one task that owns it.
+      // the one task that owns it — for an append, that also bounds
+      // the added-file count by the batch's touched-directory count.
       .repartition(col("band"), col("bucket_p"))
-      .write.mode("overwrite").partitionBy("band", "bucket_p").parquet(path)
+      .write.mode(mode).partitionBy("band", "bucket_p").parquet(path)
 
   /**
    * Probe the persisted index with a batch of new documents: shingle
@@ -656,11 +779,16 @@ object Dedup {
       .select(col("a.doc").as("new_id"), col("b.doc").as("corpus_id"),
         col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
       .distinct()
+      // unrolled codegen'd agree-sum over the k components (the same
+      // shape the in-memory path uses over its sig_i columns): the
+      // aggregate(zip_with(...)) higher-order form is interpreted —
+      // ~8× slower per row — and this projection runs once per
+      // candidate pair
       .select(col("new_id"), col("corpus_id"),
-        round(aggregate(
-          zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k, 6).as("est_jaccard"))
+        round((0 until k).map(i =>
+            when(element_at(col("a_sig"), i + 1) ===
+              element_at(col("b_sig"), i + 1), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / k, 6).as("est_jaccard"))
       .orderBy(col("new_id"), col("corpus_id"))
   }
 

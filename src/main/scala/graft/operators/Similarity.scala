@@ -324,24 +324,86 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = withNorm(df, idCol +: extraCols, vecCol)
-      .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(corpus.select(col("fv")))
-    model.transform(corpus).drop("fv")
+      .fit(corpus.select(array_to_vector(col("v")).as("fv")))
+    val centers = model.clusterCenters.map(_.toArray)
+    // assignment goes through the SAME deterministic expression the
+    // append path uses (assignCluster), not model.transform: an
+    // appended vector must land in exactly the cluster a build-time
+    // assignment would have given it, and two codegen'd evaluations
+    // of one expression are bit-identical where two independent
+    // distance implementations need not be. IvfIndexSpec's parity
+    // check against the in-memory `ivfAnn` (which DOES use
+    // model.transform) pins that the expression reproduces MLlib's
+    // assignment semantics on real data.
+    ivfWriteAssigned(corpus, centers, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // centroids: model parameters, one row per (cluster, dim, value)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (x, d) => (i, d, x) } }
+      .toSeq.toDF("cluster", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /**
+   * APPEND new vectors to a standing IVF index under its FROZEN
+   * coarse quantizer — the production incremental-ANN pattern: the
+   * quantizer (centroids, persisted at build time) is model
+   * parameters and does NOT refit per batch; new vectors are assigned
+   * to their nearest existing centroid and appended into only the
+   * touched cluster directories. Pre-existing files are never
+   * rewritten, and because build and append share one assignment
+   * expression, probe-after-append ≡ probe over an index where the
+   * batch had been present at (frozen-quantizer) build time —
+   * IndexAppendSpec proves it. Periodic re-clustering (a full
+   * `ivfIndexWrite`) remains the owner's cadence decision, exactly
+   * as with any IVF deployment.
+   */
+  def ivfIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String, extraCols: Seq[String] = Nil): Unit =
+    ivfWriteAssigned(withNorm(df, idCol +: extraCols, vecCol),
+      loadCenters(df.sparkSession, path), path,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /**
+   * Deterministic nearest-centroid assignment: squared euclidean via
+   * d²(v,c) = v·v − 2·v·c + c·c (the c·c term a precomputed literal),
+   * argmin as array_position(min) so ties break to the LOWEST cluster
+   * id. One codegen'd projection, no MLlib vector conversion in the
+   * written plan.
+   */
+  private def assignCluster(v: Column, centers: Array[Array[Double]]): Column = {
+    val vv = dot(v, v)
+    val d2s = centers.toSeq.map { c =>
+      vv - lit(2.0) * dot(v, array(c.map(lit): _*)) + lit(c.map(x => x * x).sum)
+    }
+    val arr = array(d2s: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  private def ivfWriteAssigned(corpus: DataFrame,
+      centers: Array[Array[Double]], path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    corpus.withColumn("cluster", assignCluster(col("v"), centers))
       // cluster rows by their target directory first — otherwise every
       // shuffle partition writes a file into every cluster directory
       // it touches (parallelism × nCentroids small files + commits;
       // see minhashIndexWrite for the measured cost of that shape)
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
-    // centroids: model parameters, one row per (cluster, dim, value)
-    val spark = df.sparkSession
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .flatMap { case (c, i) => c.toArray.zipWithIndex.map { case (x, d) => (i, d, x) } }
-      .toSeq.toDF("cluster", "dim", "x")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
+  /** The persisted centroid matrix, cluster-id ordered. */
+  private def loadCenters(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(centroidsPath(path)).collect()
+    val n = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.fill(n)(new Array[Double](dim))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
   }
 
   private def centroidsPath(indexPath: String): String =
@@ -579,6 +641,33 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
   }
 
+  /**
+   * APPEND new vectors to a standing PQ index under its FROZEN
+   * codebook (persisted at build time — model parameters): the batch
+   * encodes against exactly the sub-quantizer centroids `pqProbe`
+   * builds its LUT from, so probe-after-append ≡ probe over a
+   * frozen-codebook build that had included the batch
+   * (IndexAppendSpec). Re-train (a full `pqIndexWrite`) on the
+   * owner's re-clustering cadence, as with any PQ deployment.
+   */
+  def pqIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, ksub: Int = 16): Unit = {
+    val cb = df.sparkSession.read.parquet(codebookPath(path)).collect()
+    val subDim = cb.map(_.getInt(2)).max + 1
+    val codebook = new Array[Double](m * ksub * subDim)
+    cb.foreach { r =>
+      codebook((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    vecs.select(col("id"),
+        graft.functions.VectorFunctions.pqEncode(col("u"), codebook, m, ksub,
+          subDim).as("code"))
+      .write.mode("append").parquet(path)
+  }
+
   private def codebookPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "_codebook"
 
@@ -718,18 +807,59 @@ object Similarity {
    */
   def sq8IndexWrite(df: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int): Unit = {
-    val vecs = withNorm(df, Seq(idCol), vecCol)
-      .select(col(idCol).as("id"), col("v"), col("nrm"))
-      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val vecs = sq8Normalized(df, idCol, vecCol)
     val (mins, maxs) = sq8Stats(vecs, dim)
-    vecs.select(col("id"),
-        graft.functions.VectorFunctions.sq8Encode(col("u"), mins,
-          sq8Scales(mins, maxs)).as("code"))
-      .write.mode("overwrite").parquet(path)
+    sq8WriteEncoded(vecs, mins, maxs, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
     val spark = df.sparkSession
     import spark.implicits._
     mins.indices.map(i => (i, mins(i), maxs(i))).toDF("d", "vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(paramsPath(path))
+  }
+
+  /**
+   * APPEND new vectors to a standing SQ8 index under its FROZEN
+   * per-dimension (min, max) grid: the params are model parameters
+   * persisted at build time, so the appended codes decode on exactly
+   * the grid `sq8Probe` already folds the query against — probe-after-
+   * append ≡ probe over a frozen-grid build that had included the
+   * batch (IndexAppendSpec). A batch value outside the build-time
+   * range CLAMPS to the grid edge (`Sq8EncodeB` saturates at 0/255) —
+   * the standard SQ tradeoff; re-run `sq8IndexWrite` when the corpus
+   * distribution has drifted enough for clamping to matter
+   * (`Curation.psiDrift` is the alarm for exactly that).
+   */
+  def sq8IndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val (mins, maxs) = loadSq8Params(df.sparkSession, path)
+    sq8WriteEncoded(sq8Normalized(df, idCol, vecCol), mins, maxs, path,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def sq8Normalized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+
+  private def sq8WriteEncoded(vecs: DataFrame, mins: Array[Double],
+      maxs: Array[Double], path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    vecs.select(col("id"),
+        graft.functions.VectorFunctions.sq8Encode(col("u"), mins,
+          sq8Scales(mins, maxs)).as("code"))
+      .write.mode(mode).parquet(path)
+
+  private def loadSq8Params(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Array[Double]) = {
+    val prm = spark.read.parquet(paramsPath(path)).collect()
+    val dim = prm.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    prm.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    (mins, maxs)
   }
 
   private def paramsPath(indexPath: String): String =
@@ -798,7 +928,29 @@ object Similarity {
    */
   def annIndexWrite(df: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, bands: Int = 16, planesPerBand: Int = 4,
-      extraCols: Seq[String] = Nil): Unit = {
+      extraCols: Seq[String] = Nil): Unit =
+    annWriteBanded(df, idCol, vecCol, path, dim, bands, planesPerBand,
+      extraCols, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /**
+   * APPEND a batch of new vectors to a standing banded index — the
+   * write half of the incremental ANN loop. The hyperplane code is a
+   * pure seeded function of the vector (same seed ⇒ same planes ⇒
+   * same buckets), so probe-after-append is EXACTLY
+   * probe-after-full-rebuild; only the batch's (band, bucket)
+   * directories gain files and pre-existing files are never touched
+   * (IndexAppendSpec pins both). (dim, bands, planesPerBand) MUST
+   * match the index's build parameters — the `annProbe` contract.
+   */
+  def annIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, bands: Int = 16, planesPerBand: Int = 4,
+      extraCols: Seq[String] = Nil): Unit =
+    annWriteBanded(df, idCol, vecCol, path, dim, bands, planesPerBand,
+      extraCols, org.apache.spark.sql.SaveMode.Append)
+
+  private def annWriteBanded(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, bands: Int, planesPerBand: Int,
+      extraCols: Seq[String], mode: org.apache.spark.sql.SaveMode): Unit = {
     val coded = withNorm(df, idCol +: extraCols, vecCol)
       .withColumn("code", hyperplaneCode(col("v"), dim, bands * planesPerBand))
     coded.select(
@@ -809,7 +961,7 @@ object Similarity {
           }: _*)).as(Seq("band", "bucket"))): _*)
       // cluster rows by target directory (see minhashIndexWrite)
       .repartition(col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+      .write.mode(mode).partitionBy("band", "bucket").parquet(path)
   }
 
   /**

@@ -70,9 +70,106 @@ object Tokenizer {
     * (may be shorter if the corpus runs out of repeated pairs). */
   def bpeFit(df: DataFrame, idCol: String, textCol: String,
       nMerges: Int = 8): Seq[BpeMerge] =
-    fitOn(vocabBase(df, textCol), nMerges)
+    fitOn(vocabBase(df, textCol), nMerges)._1
 
-  private def fitOn(base: DataFrame, nMerges: Int): Seq[BpeMerge] = {
+  /** Weighted adjacent-pair counts of a (word, n, toks) state. */
+  private def pairCountsOf(state: DataFrame): DataFrame = {
+    val arr = split(trim(col("toks")), " ")
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    state
+      .select(col("word"), col("n"), posexplode(arr).as(Seq("pos", "t")))
+      .withColumn("t2", lead(col("t"), 1).over(byWord))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("t"), col("t2")).agg(sum(col("n")).as("f"))
+  }
+
+  /**
+   * Incremental-pair-count BPE training — the fit the loop's scaling
+   * actually needs: pair statistics are maintained by DELTA, not
+   * recomputed, and the state is maintained in place, not re-derived
+   * from the base by re-applying the whole merge list (the previous
+   * form — O(R²) replace applications and O(R) plan depth at R
+   * merges; TokenizerSpec proves this fit EQUAL to that reference on
+   * the classic fixtures and at R=64 on testdata).
+   *
+   * Per round, with (a, b) the argmax pair:
+   *  - only vocab rows whose tokenization CONTAINS " a b " change;
+   *    their old pair contributions are subtracted and their
+   *    re-tokenized contributions added — two pair-count jobs over
+   *    the AFFECTED slice, not the vocabulary;
+   *  - the state updates as one conditional-replace projection and
+   *    both state and counts re-materialize at the round boundary
+   *    (vocab-sized localCheckpoints — plan depth is CONSTANT in R,
+   *    so 30k merges plan like 8);
+   *  - `applied` comes from the affected slice's token-count delta —
+   *    no full-state token recount per round.
+   * Ties still break (freq desc, pair lexicographic), so the learned
+   * list is unchanged from the reference implementation.
+   */
+  private[operators] def fitOn(base: DataFrame,
+      nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val log = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var state = base
+    var counts = Dedup.materialize(pairCountsOf(state))
+    var before = tokenTotal(state)
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = counts.orderBy(col("f").desc, col("t"), col("t2"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b, f) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        val pat = s" $a $b "
+        val merged = s" $a$b "
+        val affected = state.filter(col("toks").contains(pat))
+        val affectedNew = affected
+          .withColumn("toks", replace(col("toks"), lit(pat), lit(merged)))
+        // applied = exact token reduction over the AFFECTED slice —
+        // one agg computes the old and re-tokenized totals together
+        // (no full-state recount per round)
+        val deltaRow = affected
+          .agg(
+            coalesce(sum(size(split(trim(col("toks")), " ")) * col("n")), lit(0L))
+              .as("old_toks"),
+            coalesce(sum(size(split(trim(
+              replace(col("toks"), lit(pat), lit(merged))), " ")) * col("n")),
+              lit(0L)).as("new_toks"))
+          .head()
+        val oldToks = deltaRow.getLong(0)
+        val newToks = deltaRow.getLong(1)
+        val deltaOld = pairCountsOf(affected)
+          .withColumn("f", -col("f"))
+        val deltaNew = pairCountsOf(affectedNew)
+        counts = Dedup.materialize(
+          counts.unionByName(deltaOld).unionByName(deltaNew)
+            .groupBy(col("t"), col("t2")).agg(sum(col("f")).as("f"))
+            .filter(col("f") > 0))
+        state = Dedup.materialize(
+          state.withColumn("toks",
+            when(col("toks").contains(pat),
+              replace(col("toks"), lit(pat), lit(merged)))
+              .otherwise(col("toks"))))
+        val after = before - (oldToks - newToks)
+        log += BpeMerge(r, a, b, f, before - after, before, after)
+        before = after
+        r += 1
+      }
+    }
+    (log.toSeq, state)
+  }
+
+  /**
+   * The pre-incremental reference fit — recomputes pair counts from
+   * the full state and re-applies the whole merge list each round.
+   * Kept ONLY as the equivalence oracle for TokenizerSpec (the
+   * incremental fit must produce an identical merge log); never used
+   * by the library paths.
+   */
+  private[operators] def fitOnRescan(base: DataFrame,
+      nMerges: Int): Seq[BpeMerge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val log = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var merges = Seq.empty[(String, String)]
@@ -81,13 +178,7 @@ object Tokenizer {
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
-      val arr = split(trim(col("toks")), " ")
-      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-      val top = state
-        .select(col("word"), col("n"), posexplode(arr).as(Seq("pos", "t")))
-        .withColumn("t2", lead(col("t"), 1).over(byWord))
-        .filter(col("t2").isNotNull)
-        .groupBy(col("t"), col("t2")).agg(sum(col("n")).as("f"))
+      val top = pairCountsOf(state)
         .orderBy(col("f").desc, col("t"), col("t2"))
         .limit(1).collect()
       if (top.isEmpty || top.head.getLong(2) < 2) done = true
@@ -143,14 +234,12 @@ object Tokenizer {
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       nMerges: Int = 8): DataFrame = {
-    val base = vocabBase(df, textCol)
-    val log = fitOn(base, nMerges)
-    encodeOn(df, idCol, textCol, base, log)
+    val (log, finalState) = fitOn(vocabBase(df, textCol), nMerges)
+    encodeOn(df, idCol, textCol, finalState, log)
   }
 
   private def encodeOn(df: DataFrame, idCol: String, textCol: String,
-      base: DataFrame, log: Seq[BpeMerge]): DataFrame = {
-    val finalState = vocabTokens(base, log.map(m => (m.left, m.right)))
+      finalState: DataFrame, log: Seq[BpeMerge]): DataFrame = {
     val wordToks = finalState.select(col("word"),
       size(split(trim(col("toks")), " ")).cast("long").as("w_toks"),
       length(col("word")).cast("long").as("w_chars"))
@@ -179,8 +268,8 @@ object Tokenizer {
   def bpeEncodeChecked(df: DataFrame, idCol: String, textCol: String,
       nMerges: Int = 8): DataFrame = {
     val base = vocabBase(df, textCol)
-    val log = fitOn(base, nMerges)
-    val enc = encodeOn(df, idCol, textCol, base, log)
+    val (log, finalState) = fitOn(base, nMerges)
+    val enc = encodeOn(df, idCol, textCol, finalState, log)
     val fitTotal = if (log.isEmpty) tokenTotal(base) else log.last.tokensAfter
     val total = enc.agg(sum(col("n_bpe_tokens")).as("enc_total"))
     enc.crossJoin(broadcast(total))
@@ -204,8 +293,7 @@ object Tokenizer {
   def bpeFitChecked(df: DataFrame, idCol: String, textCol: String,
       nMerges: Int = 8): DataFrame = {
     val base = vocabBase(df, textCol)
-    val log = fitOn(base, nMerges)
-    val finalState = vocabTokens(base, log.map(m => (m.left, m.right)))
+    val (log, finalState) = fitOn(base, nMerges)
     val freqOk = log.zip(log.drop(1)).forall { case (x, y) => y.freq <= x.freq }
     val appliedOk = log.forall(m => m.applied >= 1 && m.applied <= m.freq)
     val first = log.head

@@ -383,7 +383,8 @@ object EtlQueries {
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"),
           col("odeg"))
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = false)
+      if (i % checkpointEvery == 0)
+        ranks = graft.operators.Dedup.materializeLoop(ranks, eager = false)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy(col("node"))

@@ -439,17 +439,19 @@ object RelationalQueries {
     * pre-aggregation shape as q_cube: the Expand multiplies the
     * exact-group aggregate (a few dozen rows), never the scan. */
   def groupingSetsStatusYear(spark: SparkSession, dir: String): DataFrame = {
+    // Dataset.groupingSets (Spark 4) rather than SQL over a temp
+    // view: a fixed-name createOrReplaceTempView mutated shared
+    // session state (two concurrent query constructions would race)
+    // and leaked the view into the catalog after the query finished
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus").as("status"),
         year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("pt"))
-      .createOrReplaceTempView("graft_grouping_sets_pre")
-    spark.sql(
-      """SELECT status, yr, sum(pn) AS n, round(sum(pt), 2) AS total,
-        | CAST(grouping_id() AS BIGINT) AS gid
-        |FROM graft_grouping_sets_pre
-        |GROUP BY GROUPING SETS ((status), (yr), ())
-        |ORDER BY gid, status NULLS FIRST, yr NULLS FIRST""".stripMargin)
+      .groupingSets(Seq(Seq(col("status")), Seq(col("yr")), Seq.empty),
+        col("status"), col("yr"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pt")), 2).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("status"), asc_nulls_first("yr"))
   }
 
   /** Table profile: row count, per-column distincts and ranges — the

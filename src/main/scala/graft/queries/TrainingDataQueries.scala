@@ -281,8 +281,10 @@ object TrainingDataQueries {
     val docs = Tables.documents(spark, dir)
     val incoming = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_mh_idx").toString + "/idx"
+    // Scratch registers the dir for deletion at JVM exit — a full
+    // partitioned index per invocation must not accumulate across
+    // registry/bench sweeps
+    val path = graft.Scratch.tempDir("graft_mh_idx") + "/idx"
     Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
     val probed = Dedup.minhashProbe(incoming, path, "doc_id", "text")
     val exactCross = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -304,7 +306,147 @@ object TrainingDataQueries {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /**
+   * The composed end-to-end curation pipeline — what a real user runs,
+   * as ONE plan: raw documents → holdout split → exact dedup →
+   * transitive near-dup removal → heuristic quality floor →
+   * Bloom-prefiltered decontamination against the holdout → language
+   * mixture downsampling → sequence-pack manifest. Every stage is an
+   * individually-green operator; the composition is the product, and
+   * the oracle mirrors the WHOLE chain in one SQL statement, so a
+   * drift anywhere in the pipeline flips the hash. (The model-based
+   * `quality_classify` drops into the same slot as the heuristic
+   * floor when a labeled seed exists — kept heuristic here so the
+   * end-to-end oracle stays SQL-exact rather than flag-based.)
+   *
+   * Scan discipline (PipelineSpec audits the executed plan): the
+   * exact-dedup survivors are materialized ONCE and every later stage
+   * reads that, so the raw table is scanned only by the two holdout
+   * branches — stage chaining adds joins on derived relations, never
+   * another corpus scan. At 100 TB each inter-stage join keys on
+   * doc_id over monotonically SHRINKING relations; the only
+   * corpus-quadratic candidate stage (near-dup pairs) is the
+   * PPJoin-pruned jaccard join; decontamination probes a bloom
+   * literal; the mix and pack stages are window/RangeSlice shapes
+   * over the curated remainder.
+   */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // stage 0: decontamination holdout (the "eval benchmark" slice)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    // stage 1: exact dedup — keep the min doc_id per content hash
+    // (window form: one shuffle on the hash, no self-join back)
+    val kept1 = Dedup.materialize(
+      train.withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keep_id")).drop("keep_id"))
+    // stage 2: near-dup transitive closure — pairs ≥ 0.8 jaccard over
+    // the exact survivors, connected components, keep component minima
+    val pairs = Dedup.ngramJaccardPairs(kept1, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    val dupIds = Dedup.connectedComponents(pairs, "id1", "id2")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val kept2 = kept1.join(dupIds, Seq("doc_id"), "left_anti")
+    // stage 3: heuristic quality floor. The score relation is consumed
+    // TWICE (the floor filter and the manifest's quality column) —
+    // materialize the narrow (doc_id, quality) projection so the
+    // second consumer doesn't re-derive the whole scoring subtree
+    // (the scan-audit class PipelineSpec pins: every multi-consumer
+    // stage output below is a materialized NARROW id-keyed relation,
+    // so downstream fan-out never re-expands into corpus re-scans)
+    val quality = Dedup.materialize(
+      TextAnalysis.qualityScore(kept2, "doc_id", "text")
+        .select(col("doc_id"), col("quality")))
+    val kept3 = kept2.join(quality, "doc_id").filter(col("quality") >= 0.5)
+    // stage 4: drop docs sharing any 5-shingle with the holdout —
+    // bloom-prefiltered, exact-confirmed (≡ exact decontaminate).
+    // Materialized (an id list) so the holdout branch executes ONCE —
+    // unmaterialized, the eval scan is duplicated into every
+    // downstream copy of the kept4 subtree
+    val contaminated = Dedup.materialize(
+      Curation.decontaminateBloom(kept3, eval, "doc_id", "text", n = 5)
+        .filter(col("contaminated")).select(col("doc_id")))
+    val kept4 = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5: language mixture downsampling over the curated pool —
+    // (doc_id, lang) is consumed by both the pack input and the final
+    // manifest join
+    val mixed = Dedup.materialize(
+      Curation.mixtureSample(kept4, "doc_id", "lang",
+          Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))
+        .select(col("doc_id"), col("stratum").as("lang")))
+    // stage 6: sequence-pack manifest over the final corpus
+    val toks = TextAnalysis.tokenCounts(
+        kept4.join(mixed.select(col("doc_id")), "doc_id"), "doc_id", "text")
+      .select(col("doc_id"), col("bpe_tokens"))
+    Curation.sequencePack(toks, "doc_id", "bpe_tokens", capacity = 512L)
+      .join(mixed, "doc_id")
+      .join(quality, "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+        col("token_start"), col("start_bin"), col("end_bin"), col("straddles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Self-checking persisted-index APPEND — the write half of the
+   * incremental dedup loop (`minhash_index` proved the read half):
+   * growing a standing corpus index by a batch must not rewrite the
+   * corpus. Split: base corpus (doc_id%10 ∉ {0,9}) is indexed, the
+   * batch (doc_id%10 = 9) is APPENDED, and the incoming docs
+   * (doc_id%10 = 0) probe. Claims folded into the oracle row:
+   *  - probe-after-append ≡ probe-after-full-rebuild over base∪batch,
+   *    EXACTLY (full-outer join on (new_id, corpus_id, est_jaccard),
+   *    zero mismatches — the cc_incremental pattern: the incremental
+   *    path must equal the from-scratch path, bit for bit);
+   *  - every pre-existing index file is untouched (name→size snapshot
+   *    before/after the append — parquet append is purely additive);
+   *  - the index actually grew (anti-vacuity for the file check).
+   * The split counts are SQL-recomputable hard values.
+   */
+  def minhashIndexAppendChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9)
+    val root = graft.Scratch.tempDir("graft_mh_app")
+    val appendedIdx = root + "/appended"
+    val rebuiltIdx = root + "/rebuilt"
+    Dedup.minhashIndexWrite(base, "doc_id", "text", appendedIdx)
+    val filesBefore = graft.Scratch.parquetFiles(appendedIdx)
+    Dedup.minhashIndexAppend(batch, appendedIdx, "doc_id", "text")
+    val filesAfter = graft.Scratch.parquetFiles(appendedIdx)
+    val untouched = filesBefore.forall { case (f, sz) =>
+      filesAfter.get(f).contains(sz) }
+    val grew = filesAfter.size > filesBefore.size
+    Dedup.minhashIndexWrite(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", rebuiltIdx)
+    val pa = Dedup.minhashProbe(incoming, appendedIdx, "doc_id", "text")
+    val pb = Dedup.minhashProbe(incoming, rebuiltIdx, "doc_id", "text")
+    // est_jaccard joins exactly: both sides run the identical codegen'd
+    // agree-sum over identically-derived signature arrays
+    val mism = pa.withColumn("in_a", lit(1))
+      .join(pb.withColumn("in_b", lit(1)),
+        Seq("new_id", "corpus_id", "est_jaccard"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_a").isNull || col("in_b").isNull, 1)).as("n_mism"))
+    docs.agg(
+        count(when(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9, 1))
+          .as("n_base"),
+        count(when(col("doc_id") % 10 === 9, 1)).as("n_batch"),
+        count(when(col("doc_id") % 10 === 0, 1)).as("n_incoming"))
+      .crossJoin(broadcast(mism))
+      .select(col("n_base"), col("n_batch"), col("n_incoming"),
+        (col("n_mism") === 0).as("probe_equals_rebuild"),
+        (col("n_union") > 0).as("probes_nonempty"),
+        lit(untouched).as("preexisting_untouched"),
+        lit(grew).as("index_grew"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate _,
+    "minhash_index_append" -> minhashIndexAppendChecked _,
     "minhash_index" -> minhashIndexChecked _,
     "cc_incremental" -> ccIncremental _,
     "source_profile" -> sourceProfile _,
@@ -320,6 +462,8 @@ object TrainingDataQueries {
         Tables.embeddings(s, d), "vec_id", "embedding")),
     "window_dedup" -> ((s, d) =>
       Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
+    "window_trim" -> ((s, d) =>
+      Dedup.dupWindowTrim(Tables.documents(s, d), "doc_id", "text", k = 8)),
     "doc_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     "ngram_lm" -> ((s, d) =>
@@ -494,6 +638,31 @@ object TrainingDataQueries {
         |   ELSE coalesce(a.covered_words, 0) * 1.0 / len(w.ws) END, 6) AS dup_ratio
         |FROM documents d JOIN w USING (doc_id) LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // window_trim: exact mirror of the span trim — covered positions
+    // from duplicated 8-word windows, residual words re-joined in
+    // position order (string_agg ORDER BY = Spark's array_sort over
+    // (pos, word) structs)
+    "window_trim" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |wt AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |       FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        |wins AS (SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 7), ' ') AS s
+        |         FROM w, unnest(range(1, len(ws) - 6)) t(i) WHERE len(ws) >= 8),
+        |dup AS (SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p - 1 AS pos
+        |        FROM wins JOIN dup USING (s), unnest(range(i, i + 8)) t(p)),
+        |ret AS (SELECT wt.doc_id,
+        |          count(*) AS retained_words,
+        |          string_agg(wt.word, ' ' ORDER BY wt.pos) AS retained_text
+        |        FROM wt LEFT JOIN cov ON wt.doc_id = cov.doc_id AND wt.pos = cov.pos
+        |        WHERE cov.pos IS NULL GROUP BY 1)
+        |SELECT d.doc_id, len(w.ws) AS n_words,
+        | coalesce(r.retained_words, 0) AS retained_words,
+        | len(w.ws) - coalesce(r.retained_words, 0) AS covered_words,
+        | coalesce(r.retained_text, '') AS retained_text
+        |FROM documents d JOIN w USING (doc_id) LEFT JOIN ret r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // dsir_weights: integer-exact mirror — per-bucket llr is scaled to
     // a BIGINT once (one ln per bucket from exact counts), then every
     // per-doc score is an integer sum, order-independent on both sides
@@ -653,9 +822,11 @@ object TrainingDataQueries {
         |c AS (SELECT least(9, greatest(0, n_chars // 120)) AS bucket,
         |        count(*) AS n_cur
         |      FROM documents WHERE doc_id % 2 != 0 GROUP BY 1),
-        |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+        |d AS (SELECT CAST(i AS BIGINT) AS bucket FROM range(0, 10) t(i)),
+        |j AS (SELECT d.bucket,
         |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |      FROM d LEFT JOIN r ON d.bucket = r.bucket
+        |             LEFT JOIN c ON d.bucket = c.bucket),
         |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS rt,
         |        CAST(sum(n_cur) AS DOUBLE) AS ct FROM j),
         |s AS (SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
@@ -692,6 +863,93 @@ object TrainingDataQueries {
         | CASE WHEN md.mad > 0
         |      THEN round((cdist - a.med) / (1.4826 * md.mad), 4) END AS robust_z
         |FROM a, md ORDER BY vec_id""".stripMargin,
+    // pipeline_curate: the WHOLE composed pipeline mirrored in one
+    // statement — holdout split, exact dedup (min id per md5), jaccard
+    // pairs + recursive-CTE components, quality floor, 5-shingle
+    // decontamination (the bloom+confirm Spark path is provably ≡ the
+    // exact SQL here — no false negatives, confirm kills the fp's),
+    // mixture ranks, and the running-sum pack manifest
+    "pipeline_curate" ->
+      """WITH RECURSIVE
+        |tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 <> 0),
+        |k1 AS (SELECT doc_id, lang, text FROM (
+        |         SELECT doc_id, lang, text,
+        |           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM tr)
+        |       WHERE doc_id = keep_id),
+        |w AS (SELECT doc_id, text,
+        |        string_split_regex(lower(trim(text)), '\s+') AS ws FROM k1),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
+        |und AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+        |reach(u, v) AS (SELECT DISTINCT u, u FROM und
+        |  UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        |k2 AS (SELECT k1.* FROM k1 LEFT JOIN comp USING (doc_id)
+        |       WHERE comp.component IS NULL OR comp.component = k1.doc_id),
+        |q AS (SELECT w.doc_id,
+        |        round(least(1.0, len(ws) / 100.0) * 0.5 +
+        |          (1.0 - least(1.0, round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) * 10)) * 0.25 +
+        |          least(1.0, round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 6) * 5) * 0.25, 4) AS quality
+        |      FROM w),
+        |k3 AS (SELECT k2.doc_id, k2.lang, k2.text, q.quality
+        |       FROM k2 JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+        |wc AS (SELECT doc_id,
+        |         string_split_regex(lower(trim(text)), '\s+') AS ws FROM k3),
+        |shc AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |        FROM wc, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |we AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |evs AS (SELECT DISTINCT array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |        FROM we, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |cont AS (SELECT DISTINCT doc FROM shc JOIN evs USING (s)),
+        |k4 AS (SELECT k3.* FROM k3 LEFT JOIN cont ON k3.doc_id = cont.doc
+        |       WHERE cont.doc IS NULL),
+        |b AS (SELECT doc_id, lang AS stratum,
+        |        CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'fr' THEN 15
+        |                  WHEN 'es' THEN 15 WHEN 'zh' THEN 15 END AS w_
+        |      FROM k4 WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')),
+        |cnt AS (SELECT stratum, w_, count(*) AS stratum_n FROM b GROUP BY 1, 2),
+        |m AS (SELECT min(stratum_n * 100 // w_) AS m FROM cnt),
+        |dims AS (SELECT stratum, (w_ * m.m) // 100 AS keep_n FROM cnt, m),
+        |r AS (SELECT doc_id, stratum,
+        |        row_number() OVER (PARTITION BY stratum
+        |          ORDER BY md5(doc_id::VARCHAR), doc_id) AS mix_rank
+        |      FROM b),
+        |k5 AS (SELECT r.doc_id, r.stratum AS lang FROM r
+        |       JOIN dims d USING (stratum) WHERE r.mix_rank <= d.keep_n),
+        |t AS (SELECT k5.doc_id, k5.lang, k4.quality,
+        |        len(regexp_extract_all(k4.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
+        |      FROM k5 JOIN k4 USING (doc_id)),
+        |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |        AS token_start FROM t)
+        |SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | token_start, token_start // 512 AS start_bin,
+        | (token_start + greatest(n_tokens, 1) - 1) // 512 AS end_bin,
+        | token_start // 512 <> (token_start + greatest(n_tokens, 1) - 1) // 512
+        |   AS straddles
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // minhash_index_append: the split counts are recomputed as hard
+    // values; the append≡rebuild, untouched-files, and growth claims
+    // are Spark-side checks pinned TRUE (the cc_incremental pattern)
+    "minhash_index_append" ->
+      """SELECT count(CASE WHEN doc_id % 10 NOT IN (0, 9) THEN 1 END) AS n_base,
+        | count(CASE WHEN doc_id % 10 = 9 THEN 1 END) AS n_batch,
+        | count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_incoming,
+        | TRUE AS probe_equals_rebuild, TRUE AS probes_nonempty,
+        | TRUE AS preexisting_untouched, TRUE AS index_grew
+        |FROM documents""".stripMargin,
     // minhash_index: oracle recomputes the exact cross-corpus pair
     // count (incoming = doc_id % 10 = 0 vs the indexed rest) and pins
     // the probe's recall-floor flag TRUE

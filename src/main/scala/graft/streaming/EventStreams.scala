@@ -42,6 +42,24 @@ object EventStreams {
   }
 
   /**
+   * Collect a finished memory sink's rows into a local relation and
+   * DROP the sink's temp view: a memory sink holds its rows on the
+   * driver for as long as its view exists, so the per-invocation
+   * counter-named sinks here would otherwise accumulate one resident
+   * result set per registry/bench run for the life of the session.
+   * The copy is the SAME driver-resident data the sink already held
+   * (bounded: windowed aggregates, key sets, watermark-bounded join
+   * output — never raw corpus), minus the catalog entry; downstream
+   * transforms read a plain LocalRelation.
+   */
+  private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val sunk = spark.table(name)
+    val rows = sunk.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sunk.schema)
+  }
+
+  /**
    * A Structured-Streaming read of the events table, physical-schema
    * agnostic: the schema comes from a batch footer read (file streams
    * require an explicit schema), and `Tables.normalizeEventTs` at the
@@ -79,7 +97,8 @@ object EventStreams {
         .writeStream.outputMode("complete").format("memory").queryName(name).start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).orderBy(col("window_start"), col("event_type"))
+    drainMemorySink(spark, name)
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /**
@@ -149,7 +168,7 @@ object EventStreams {
         .queryName(name).start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    drainMemorySink(spark, name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
@@ -184,7 +203,7 @@ object EventStreams {
         .queryName(name).start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    drainMemorySink(spark, name)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
@@ -219,7 +238,9 @@ object EventStreams {
    * publish, slice-independent convergence — are the contract here.
    */
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // Scratch-registered: the replay layout + versioned snapshots are
+    // deleted at JVM exit instead of accumulating per invocation
+    val work = graft.Scratch.tempDir("graft_cdc")
     Tables.events(spark, dir)
       .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$work/changes")
@@ -281,7 +302,7 @@ object EventStreams {
    * against its batch mirror row-for-row.
    */
   def streamLateData(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val work = graft.Scratch.tempDir("graft_late")
     val ev = Tables.events(spark, dir)
     val us = unix_micros(col("ts"))
     val bounds = ev.agg(min(us).as("mn"), max(us).as("mx")).head()
@@ -321,7 +342,8 @@ object EventStreams {
         .start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).orderBy(col("window_start_us"), col("event_type"))
+    drainMemorySink(spark, name)
+      .orderBy(col("window_start_us"), col("event_type"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,6 +49,40 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.tokensBefore == 6L && m.tokensAfter == 4L)
   }
 
+  test("incremental fit == rescan reference on fixtures and at R=64 on testdata") {
+    // classic fixture: every (rank, pair, freq, applied, totals) equal
+    val corpus = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    def base(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup.materialize(
+        df.select(explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .withColumn("toks",
+            concat(lit(" "), array_join(split(col("word"), "(?!^)"), " "), lit(" "))))
+    }
+    val b1 = base(corpus)
+    assert(Tokenizer.fitOn(b1, 6)._1 == Tokenizer.fitOnRescan(b1, 6))
+
+    // deep run on real testdata: the delta-maintained counts must
+    // track the full recount for 64 rounds, and the maintained state's
+    // plan must stay CONSTANT-depth (the round-boundary checkpoints —
+    // the rescan reference's plan grows with R instead)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 200)
+    val b2 = base(docs)
+    val (incLog, finalState) = Tokenizer.fitOn(b2, 64)
+    val refLog = Tokenizer.fitOnRescan(b2, 64)
+    assert(incLog.nonEmpty)
+    assert(incLog == refLog,
+      s"first divergence: ${incLog.zip(refLog).find { case (a, b) => a != b }}")
+    val planNodes = finalState.queryExecution.logical.collect { case p => p }.size
+    assert(planNodes <= 10,
+      s"final state plan has $planNodes nodes — lineage not truncated")
+  }
+
   test("bpeFitChecked emits all-true invariants and the exact round-1 facts") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val row = Tokenizer.bpeFitChecked(docs, "doc_id", "text", nMerges = 8).head()
