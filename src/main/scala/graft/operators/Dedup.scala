@@ -714,7 +714,10 @@ object Dedup {
    * ones the index was written with — same contract as `annProbe`'s
    * dim: a mismatch silently writes signatures no probe will find.
    * A production deploy compacts small appended files per directory
-   * with `Layout.compact` on its own cadence.
+   * with `Layout.compactPartitioned` on its own cadence (the flat
+   * `Layout.compact` would drop the (band, bucket_p) layout and break
+   * probe pruning; IndexCompactSpec proves the partitioned variant
+   * preserves probe results AND pruning).
    */
   def minhashIndexAppend(df: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,

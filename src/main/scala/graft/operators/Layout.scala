@@ -65,4 +65,35 @@ object Layout {
     df.repartition(nOut).write.mode("overwrite").parquet(dest)
     (nIn, nOut)
   }
+
+  /**
+   * Compaction for a PARTITIONED table — the maintenance pass the
+   * appendable indexes need (`minhashIndexAppend` and the ANN appends
+   * add one file set per batch per touched directory; after many
+   * batches each (band, bucket_p) / cluster directory is a pile of
+   * small files). [[compact]] would flatten the layout — the
+   * partition columns would come back as data columns in unpartitioned
+   * files and every probe's partition pruning would silently break —
+   * so this variant re-clusters BY the partition columns and writes
+   * `partitionBy` them again: each output directory ends up with the
+   * files of the one task that owns it, directory paths (and therefore
+   * probe-side PartitionFilters pruning) unchanged. IndexCompactSpec
+   * proves probe-after-compact ≡ probe-before, that the file count
+   * strictly drops, and that the probe's pruned numFiles metric still
+   * holds on the compacted index.
+   *
+   * The write goes to a NEW directory, same contract as [[compact]]:
+   * atomic swap-in is the table format's / orchestrator's job.
+   *
+   * @return (input file count, output file count)
+   */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, partitionCols: Seq[String]): (Int, Int) = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val df = spark.read.parquet(src)
+    val nIn = df.inputFiles.length
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dest)
+    (nIn, spark.read.parquet(dest).inputFiles.length)
+  }
 }

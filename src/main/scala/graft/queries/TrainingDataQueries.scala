@@ -349,7 +349,17 @@ object TrainingDataQueries {
     val dupIds = Dedup.connectedComponents(pairs, "id1", "id2")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    val kept2 = kept1.join(dupIds, Seq("doc_id"), "left_anti")
+    // Every inter-stage join below is PINNED shuffle-hash with the
+    // narrow id-keyed side as build. Two reasons, one honest shape:
+    // (a) at 100 TB the drop/pick/score lists are data-sized — never
+    // broadcast-honest — so the shuffle join is the only shape that
+    // survives the scale-up; (b) left to AQE, the build-side choice
+    // rides on runtime size stats of the checkpointed stage outputs,
+    // which under bench memory pressure report in-memory vs spilled
+    // sizes differently — a bistable plan the fingerprint snapshot
+    // caught flapping (stable in 12 standalone runs, flipped mid-sweep)
+    val kept2 = kept1.join(dupIds.hint("shuffle_hash"),
+      Seq("doc_id"), "left_anti")
     // stage 3: heuristic quality floor. The score relation is consumed
     // TWICE (the floor filter and the manifest's quality column) —
     // materialize the narrow (doc_id, quality) projection so the
@@ -360,7 +370,8 @@ object TrainingDataQueries {
     val quality = Dedup.materialize(
       TextAnalysis.qualityScore(kept2, "doc_id", "text")
         .select(col("doc_id"), col("quality")))
-    val kept3 = kept2.join(quality, "doc_id").filter(col("quality") >= 0.5)
+    val kept3 = kept2.join(quality.hint("shuffle_hash"), "doc_id")
+      .filter(col("quality") >= 0.5)
     // stage 4: drop docs sharing any 5-shingle with the holdout —
     // bloom-prefiltered, exact-confirmed (≡ exact decontaminate).
     // Materialized (an id list) so the holdout branch executes ONCE —
@@ -369,7 +380,8 @@ object TrainingDataQueries {
     val contaminated = Dedup.materialize(
       Curation.decontaminateBloom(kept3, eval, "doc_id", "text", n = 5)
         .filter(col("contaminated")).select(col("doc_id")))
-    val kept4 = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept4 = kept3.join(contaminated.hint("shuffle_hash"),
+      Seq("doc_id"), "left_anti")
     // stage 5: language mixture downsampling over the curated pool —
     // (doc_id, lang) is consumed by both the pack input and the final
     // manifest join
@@ -377,13 +389,20 @@ object TrainingDataQueries {
       Curation.mixtureSample(kept4, "doc_id", "lang",
           Seq("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15))
         .select(col("doc_id"), col("stratum").as("lang")))
-    // stage 6: sequence-pack manifest over the final corpus
+    // stage 6: sequence-pack manifest over the final corpus. The
+    // mixture-pick joins are PINNED shuffle-hash with the narrow id
+    // side as build: at sf0.001 both sides are broadcast-sized and AQE's
+    // build-side choice rides on byte-size jitter (a bistable plan the
+    // fingerprint snapshot caught flapping across JVMs); at 100 TB the
+    // pick list is data-sized — never broadcast-honest — so the pinned
+    // shuffle join is also the only shape that survives the scale-up
     val toks = TextAnalysis.tokenCounts(
-        kept4.join(mixed.select(col("doc_id")), "doc_id"), "doc_id", "text")
+        kept4.join(mixed.select(col("doc_id")).hint("shuffle_hash"),
+          "doc_id"), "doc_id", "text")
       .select(col("doc_id"), col("bpe_tokens"))
     Curation.sequencePack(toks, "doc_id", "bpe_tokens", capacity = 512L)
-      .join(mixed, "doc_id")
-      .join(quality, "doc_id")
+      .join(mixed.hint("shuffle_hash"), "doc_id")
+      .join(quality.hint("shuffle_hash"), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
         col("token_start"), col("start_bin"), col("end_bin"), col("straddles"))
       .orderBy(col("doc_id"))
@@ -444,7 +463,74 @@ object TrainingDataQueries {
         lit(grew).as("index_grew"))
   }
 
+  /**
+   * The WHOLE incremental dedup loop, steady-state round N, as one
+   * self-checking query — the composition of the three anchors that
+   * proved its legs separately (`minhash_index` = probe,
+   * `minhash_index_append` = append, `cc_incremental` = label merge):
+   * a standing corpus has a persisted band index and prior component
+   * labels; a new batch arrives and the round runs
+   *   1. probe the index for batch↔corpus candidates (shingles ONLY
+   *      the batch, prunes the index scan to the batch's buckets),
+   *   2. batch-internal candidates from the batch's own banded join
+   *      (batch-sized — the corpus is never re-shingled),
+   *   3. fold both edge sets into the prior labels via star edges
+   *      (one label-propagation round, depth-independent),
+   *   4. append the batch's signatures into the standing index for
+   *      round N+1.
+   * The check: the merged labeling must EQUAL the from-scratch
+   * labeling over the full corpus∪batch candidate graph at the same
+   * threshold — candidate sets compose exactly (probe ≡ cross subset,
+   * per-doc signatures are a pure seeded function of text), so the
+   * loop's output is bit-identical to a full recompute while touching
+   * only batch-sized text. Output: SQL-exact split counts + the
+   * equality/vacuity flags folded in (the established ✅sc pattern).
+   */
+  def incrDedupLoopChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val tau = 0.8
+    val path = graft.Scratch.tempDir("graft_loop") + "/idx"
+    // standing state (in production this persists across rounds; the
+    // query constructs it so the round is reproducible end-to-end)
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
+    val priorPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .filter(col("est_jaccard") >= tau).select(col("id1"), col("id2"))
+    val prior = Dedup.connectedComponents(priorPairs, "id1", "id2")
+    // the round: probe + batch-internal candidates + label merge
+    val crossPairs = Dedup.minhashProbe(batch, path, "doc_id", "text")
+      .filter(col("est_jaccard") >= tau)
+      .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
+    val batchPairs = Dedup.minhashLshPairs(batch, "doc_id", "text")
+      .filter(col("est_jaccard") >= tau).select(col("id1"), col("id2"))
+    val starEdges = prior.select(col("node").as("id1"),
+      col("component").as("id2"))
+    val merged = Dedup.connectedComponents(
+      starEdges.unionByName(crossPairs).unionByName(batchPairs),
+      "id1", "id2")
+    Dedup.minhashIndexAppend(batch, path, "doc_id", "text")
+    // from-scratch reference over the identical candidate graph
+    val scratch = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= tau).select(col("id1"), col("id2")),
+      "id1", "id2")
+    val mism = merged.withColumn("in_a", lit(1))
+      .join(scratch.withColumn("in_b", lit(1)),
+        Seq("node", "component"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_a").isNull || col("in_b").isNull, 1)).as("n_mism"))
+    docs.agg(
+        count(when(col("doc_id") % 10 =!= 0, 1)).as("n_corpus"),
+        count(when(col("doc_id") % 10 === 0, 1)).as("n_batch"))
+      .crossJoin(broadcast(mism))
+      .select(col("n_corpus"), col("n_batch"),
+        (col("n_mism") === 0).as("merged_equals_scratch"),
+        (col("n_union") > 0).as("components_nonempty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incr_dedup_loop" -> incrDedupLoopChecked _,
     "pipeline_curate" -> pipelineCurate _,
     "minhash_index_append" -> minhashIndexAppendChecked _,
     "minhash_index" -> minhashIndexChecked _,
@@ -940,6 +1026,15 @@ object TrainingDataQueries {
         | token_start // 512 <> (token_start + greatest(n_tokens, 1) - 1) // 512
         |   AS straddles
         |FROM c ORDER BY doc_id""".stripMargin,
+    // incr_dedup_loop: the composed steady-state round — split counts
+    // are hard values; merged≡from-scratch is the Spark-side check
+    // pinned TRUE (a label mismatch anywhere in probe, batch-internal
+    // candidates, star-edge merge, or CC flips it)
+    "incr_dedup_loop" ->
+      """SELECT count(CASE WHEN doc_id % 10 != 0 THEN 1 END) AS n_corpus,
+        | count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_batch,
+        | TRUE AS merged_equals_scratch, TRUE AS components_nonempty
+        |FROM documents""".stripMargin,
     // minhash_index_append: the split counts are recomputed as hard
     // values; the append≡rebuild, untouched-files, and growth claims
     // are Spark-side checks pinned TRUE (the cc_incremental pattern)

@@ -148,6 +148,53 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start_us"))
 
   /**
+   * The transformWithState sessionizer driven through the oracle
+   * gate: the events table replayed as a REAL streaming query through
+   * `Sessionize.sessionsTws` (arbitrary named state via
+   * StatefulProcessor on the RocksDB store — the API that supersedes
+   * flatMapGroupsWithState) into a memory sink. Append-mode stateful
+   * semantics decide WHAT is emitted: a session closes only when a
+   * LATER event of the same user passes the gap, so the emitted set is
+   * every user session EXCEPT the user's last — exactly expressible in
+   * SQL (the stream_sessionize window form minus each user's max
+   * session id), so the whole stateful path is hash-checked, not just
+   * spec-checked. Values travel as exact CENTS through the per-group
+   * fold (integer-valued doubles — order-free exact sums) and divide
+   * back at the edge, mirroring the oracle's DECIMAL sum bit-for-bit.
+   */
+  def streamSessionizeTws(spark: SparkSession, dir: String): DataFrame = {
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    // transformWithState requires the RocksDB provider; restore after
+    // so the other streaming queries keep the session default
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val ev = Tables.normalizeEventTs(eventsStream(spark, dir))
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100, 0).cast("double").as("value"))
+        .as[Sessionize.Ev]
+      val name = s"graft_stream_tws_${counter.incrementAndGet()}"
+      val q = withStatePartitions(spark, 8) {
+        Sessionize.sessionsTws(spark, ev, gapMinutes = 30)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      }
+      try { q.processAllAvailable() } finally { q.stop() }
+      drainMemorySink(spark, name)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          round(col("total_value") / 100, 4).as("total_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
+  /**
    * Streaming dedup: first event per (user_id, event_type), run as a
    * real append-mode stream with stateful dropDuplicates, then
    * aggregated (batch) to a deterministic shape — WHICH duplicate wins
@@ -353,6 +400,7 @@ object EventStreams {
     "stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "stream_window_agg" -> ((s, d) => streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "stream_sessionize_tws" -> ((s, d) => streamSessionizeTws(s, d)),
     "stream_session_window" -> ((s, d) => sessionWindow(Tables.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
@@ -428,6 +476,33 @@ object EventStreams {
         | count(*) AS n_events,
         | round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream_sessionize_tws: append-mode stateful emission = every
+    // session except each user's LAST (a session only closes when a
+    // later event passes the gap; the open tail never emits). Same
+    // window-function session derivation as stream_sessionize, then
+    // the per-user max session id is excluded.
+    "stream_sessionize_tws" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |s AS (
+        | SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                    THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM g),
+        |a AS (
+        | SELECT user_id, sid,
+        |  min(us) AS session_start_us, max(us) AS session_end_us,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+        | FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(sid) AS last_sid FROM a GROUP BY 1)
+        |SELECT a.user_id, a.session_start_us, a.session_end_us,
+        | a.n_events, a.total_value
+        |FROM a JOIN m ON a.user_id = m.user_id AND a.sid < m.last_sid
+        |ORDER BY a.user_id, a.session_start_us""".stripMargin,
     // session_window end = last event + gap; the window is
     // end-EXCLUSIVE, so an event at exactly prev+gap opens a NEW
     // session — hence >= here where the lag-based sessionize uses >

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /**
  * True streaming sessionization via flatMapGroupsWithState — the
@@ -75,5 +76,53 @@ object Sessionize {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         update(gapUs(gapMinutes), withTimeout))
+  }
+
+  /**
+   * The same sessionizer on the arbitrary-state API that supersedes
+   * flatMapGroupsWithState (`transformWithState`, Spark 4): typed
+   * named state through a [[StatefulProcessorHandle]] instead of one
+   * opaque GroupState blob — the deployment-facing differences are
+   * schema-evolvable state, per-state TTL, and the RocksDB state
+   * store (transformWithState requires it; changelog-checkpointed,
+   * so 100 TB-scale key counts don't rewrite full snapshots per
+   * batch). The PER-GROUP TRANSITION IS THE SHARED [[fold]] — both
+   * operators are thin shells around it, so SessionizeStreamSpec can
+   * assert the two emit identical sessions on identical input
+   * without duplicating session semantics in the test.
+   */
+  class SessionProcessor(gap: Long)
+      extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Session] = {
+      val prior = if (open.exists()) Some(open.get()) else None
+      val (closed, tail) = fold(rows.toSeq, gap, prior)
+      tail match {
+        case Some(s) => open.update(s)
+        case None => open.clear()
+      }
+      closed.iterator.map(s => Session(userId, s.startUs, s.endUs, s.n, s.total))
+    }
+  }
+
+  /**
+   * [[sessions]] on `transformWithState`. Sessions close when a later
+   * event passes the gap (TimeMode.None — the NoTimeout analogue);
+   * the session running the query must use the RocksDB state store
+   * provider (`spark.sql.streaming.stateStore.providerClass`), which
+   * transformWithState requires.
+   */
+  def sessionsTws(spark: SparkSession, events: Dataset[Ev],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs(gapMinutes)),
+        TimeMode.None(), OutputMode.Append())
   }
 }

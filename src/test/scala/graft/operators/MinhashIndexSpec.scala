@@ -27,8 +27,7 @@ class MinhashIndexSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, dir)
     val incoming = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_mh_spec").toString + "/idx"
+    val path = graft.Scratch.tempDir("graft_mh_spec") + "/idx"
     Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
     val probed = Dedup.minhashProbe(incoming, path, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -53,8 +52,7 @@ class MinhashIndexSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, dir)
     val one = docs.filter(col("doc_id") === 0L)
     val corpus = docs.filter(col("doc_id") =!= 0L)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_mh_prune").toString + "/idx"
+    val path = graft.Scratch.tempDir("graft_mh_prune") + "/idx"
     Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
     val probe = Dedup.minhashProbe(one, path, "doc_id", "text")
     probe.collect()
