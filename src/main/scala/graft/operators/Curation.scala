@@ -262,6 +262,52 @@ object Curation {
   }
 
   /**
+   * Weight-proportional systematic sampling — pick EXACTLY k "grid
+   * hits" from the corpus with selection probability proportional to a
+   * weight column, entirely in integer arithmetic (the float-free
+   * sibling of A-ES/exponential-keys sampling: ln/pow priorities
+   * differ across engines in the last ulp — the cross-engine hash-flip
+   * class this registry bans — while the systematic grid is exact in
+   * any engine): lay the docs end-to-end on the cumulative weight
+   * line in id order, then take the k evenly spaced grid points
+   * j·W/k. A doc is picked iff its weight interval [s, s+w) covers a
+   * grid point: n_hits = ⌈k(s+w)/W⌉ − ⌈ks/W⌉, which telescopes to
+   * exactly k over the corpus; a doc heavier than W/k gets multiple
+   * hits (its oversampling multiplicity, reported — real pipelines
+   * repeat or upweight it).
+   *
+   * The cumulative line is the same RangeSlice exclusive-prefix-sum
+   * shape as [[sequencePack]]: no single-partition sort, slice totals
+   * broadcast back, recompute-safe.
+   */
+  def weightedSystematicSample(df: DataFrame, idCol: String, wCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base0 = df.select(col(idCol), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val base = RangeSlice.withSliceId(base0, Seq(col(idCol)), parts, "sid")
+    val wOff = Window.orderBy(col("sid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("sid")).agg(sum(col("w")).as("sw"))
+      .withColumn("off", coalesce(sum(col("sw")).over(wOff), lit(0L)))
+      .select(col("sid"), col("off"))
+    val wLocal = Window.partitionBy(col("sid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = base0.agg(sum(col("w")).as("tw"))
+    base.join(broadcast(offsets), "sid")
+      .withColumn("w_start",
+        col("off") + coalesce(sum(col("w")).over(wLocal), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_hits",
+        expr(s"($k * (w_start + w) + tw - 1) div tw" +
+          s" - ($k * w_start + tw - 1) div tw"))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("w").as("weight"), col("w_start"), col("n_hits"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Per-stratum quality selection — keep the best half (or any
    * `keepNumer/keepDenom` fraction) of each stratum by a quality
    * column, integer-exact: a row stays iff rank·denom ≤ count·numer,

@@ -158,6 +158,23 @@ object Multimodal {
           element_at(col("hist_e4"), 1).as("f0_e4"),
           element_at(col("hist_e4"), 8).as("f7_e4"))
         .orderBy(col("asset_id"))
+    }),
+    // content-addressed exact media dedup — the first stage every
+    // multimodal pipeline runs (identical payload bytes ⇒ one stored
+    // asset): hash the payload IN THE SCAN, then one window shuffle on
+    // the content hash; the binary column is pruned before the
+    // exchange (only the hash and metadata travel), so at 100 TB of
+    // media the shuffle is metadata-sized
+    "mm_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash"))
+      manifest(graft.Tables.documents(s, d), "doc_id", "text")
+        .withColumn("content_hash", md5(col("payload")))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("keep", col("asset_id") === min(col("asset_id")).over(w))
+        .select(col("asset_id"), col("media_type"), col("content_hash"),
+          col("n_copies"), col("keep"))
+        .orderBy(col("asset_id"))
     }))
 
   // DuckDB mirror of the md5-derived pseudo-metadata.
@@ -213,6 +230,20 @@ object Multimodal {
          |      ELSE 'video' END AS media_type,
          | n_bytes, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          | CAST(part AS INTEGER) AS part
+         |FROM m ORDER BY asset_id""".stripMargin,
+    // md5 of the payload string ≡ md5 of the binary cast — DuckDB
+    // hashes the same bytes
+    "mm_dedup" ->
+      s"""WITH m AS (SELECT doc_id AS asset_id,
+         |  ${Md5IntSql("doc_id::VARCHAR || '#0'")} % 3 AS t,
+         |  md5(text) AS content_hash
+         | FROM documents)
+         |SELECT asset_id,
+         | CASE WHEN t = 0 THEN 'image' WHEN t = 1 THEN 'audio'
+         |      ELSE 'video' END AS media_type,
+         | content_hash,
+         | count(*) OVER (PARTITION BY content_hash) AS n_copies,
+         | asset_id = min(asset_id) OVER (PARTITION BY content_hash) AS keep
          |FROM m ORDER BY asset_id""".stripMargin,
     "mm_frames" ->
       s"""WITH m AS (SELECT doc_id AS asset_id, length(text) AS n_bytes,

@@ -73,10 +73,21 @@ object TemporalQueries {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /**
+   * Hourly gap-filled resample of each user's event series
+   * (operators/Resample.scala): empty hours between a user's first
+   * and last event materialize with zero counts and the last observed
+   * hourly total carried forward.
+   */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.resample(Tables.events(spark, dir),
+      "user_id", "ts", "value", stepUs = 3600000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofPrevOrder _,
     "range_join" -> eventPairsWithin _,
     "q_sliding_window" -> slidingWindowAgg _,
+    "time_resample" -> resampleHourly _,
     "q_scd2" -> scd2EventType _)
 
   val oracleSql: Map[String, String] = Map(
@@ -90,6 +101,31 @@ object TemporalQueries {
         |SELECT window_start_us, event_type, count(*) AS n_events,
         | round((sum(CAST(value AS DECIMAL(12,2))))::DOUBLE, 4) AS total_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // time_resample: grid generated per user from its (min, max) bins;
+    // totals summed as DECIMAL then floated+rounded at the edge on
+    // both sides; forward fill = last_value IGNORE NULLS
+    "time_resample" ->
+      """WITH a AS (
+        | SELECT user_id,
+        |   epoch_us(ts) - epoch_us(ts) % 3600000000 AS bin_us,
+        |   count(*) AS n_events,
+        |   sum(CAST(value AS DECIMAL(12,2))) AS total
+        | FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bin_us) AS b0, max(bin_us) AS b1
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT user_id, b0 + i * 3600000000 AS bin_us
+        |      FROM s, unnest(range(0, (b1 - b0) // 3600000000 + 1)) t(i)),
+        |j AS (SELECT g.user_id, g.bin_us,
+        |        coalesce(a.n_events, 0) AS n_events, a.total
+        |      FROM g LEFT JOIN a ON g.user_id = a.user_id
+        |                        AND g.bin_us = a.bin_us)
+        |SELECT user_id, bin_us, n_events,
+        | round(CAST(total AS DOUBLE), 4) AS total_value,
+        | round(CAST(last_value(total IGNORE NULLS) OVER
+        |   (PARTITION BY user_id ORDER BY bin_us
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS ffill_value,
+        | total IS NULL AS filled
+        |FROM j ORDER BY user_id, bin_us""".stripMargin,
     "asof_join" ->
       """SELECT o_orderkey, o_custkey,
         | epoch_us(o_orderdate) AS order_date_us,

@@ -576,6 +576,15 @@ object TrainingDataQueries {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8, maxShingleFreq = 100)),
+    // triangle census of the near-dup graph: closed triangles = true
+    // rewrite cliques, open wedges = template-plus-satellites stars
+    "graph_triangles" -> ((s, d) =>
+      graft.operators.Triangles.triangleCount(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleFreq = 100), "id1", "id2")),
+    "corpus_sample_weighted" -> ((s, d) =>
+      Curation.weightedSystematicSample(Tables.documents(s, d),
+        "doc_id", "n_chars", k = 100)),
     "dedup_minhash_lsh" -> minhashChecked _,
     "dedup_simhash" -> simhashChecked _,
     "dedup_embedding" -> ((s, d) =>
@@ -1155,6 +1164,60 @@ object TrainingDataQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // graph_triangles: same pair CTE as dedup_ngram_jaccard, then
+    // degrees → (degree, id) orientation → oriented wedge total, and
+    // the triangle count via the ordered 3-way pair join (id1 < id2
+    // everywhere, so a < b < c enumerates each triangle once)
+    "graph_triangles" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |p AS (SELECT id1, id2 FROM ints
+        |      JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |      WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT id1 AS n FROM p UNION ALL SELECT id2 FROM p)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN (du.d, p.id1) < (dv.d, p.id2)
+        |             THEN p.id1 ELSE p.id2 END AS lo
+        |      FROM p JOIN deg du ON p.id1 = du.n JOIN deg dv ON p.id2 = dv.n),
+        |wc AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+        |         AS n_wedges
+        |       FROM (SELECT lo, count(*) AS d FROM o GROUP BY 1)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM p a JOIN p b ON a.id2 = b.id1
+        |               JOIN p c ON c.id1 = a.id1 AND c.id2 = b.id2)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        | (SELECT count(*) FROM p) AS n_edges,
+        | wc.n_wedges, tri.n_triangles
+        |FROM wc, tri""".stripMargin,
+    // corpus_sample_weighted: the cumulative-weight line and the
+    // ceil-division hit counts are pure BIGINT arithmetic — identical
+    // in any engine
+    "corpus_sample_weighted" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+        |           FROM documents WHERE n_chars > 0),
+        |c AS (SELECT doc_id, w,
+        |        CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS w_start
+        |      FROM b),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM b)
+        |SELECT doc_id, w AS weight, w_start,
+        | CAST((100 * (w_start + w) + tw - 1) // tw
+        |   - (100 * w_start + tw - 1) // tw AS BIGINT) AS n_hits
+        |FROM c, t
+        |WHERE (100 * (w_start + w) + tw - 1) // tw
+        |   - (100 * w_start + tw - 1) // tw > 0
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
