@@ -654,24 +654,6 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
-  /** The k MinHash signature components as one array column (same
-    * seeded xxhash64 stream as minhashLshPairsFromShingles) plus the
-    * per-band LSH bucket ids — shared by the persisted band index's
-    * write and probe sides so they can never drift. */
-  private def minhashBanded(sh: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = sh.groupBy(col("doc"))
-      .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
-    sigs.select(col("doc"),
-      array((0 until k).map(i => col(s"sig_$i")): _*).as("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-          col(s"sig_${b * rowsPerBand + r}")): _*)
-      }: _*)).as(Seq("band", "bucket")))
-  }
-
   /**
    * Persisted MinHash band index — the INCREMENTAL half of the dedup
    * story: at 100 TB you dedup each incoming batch against the
@@ -679,14 +661,25 @@ object Dedup {
    * banded signatures are materialized ONCE as a parquet layout the
    * probe can open selectively.
    *
-   * Layout: one row per (doc, band, bucket) with the full signature
-   * array along for est_jaccard at probe time, PARTITIONED BY
-   * (band, bucket_p) where bucket_p = bucket mod `bucketDirs` folds
-   * the 64-bit bucket space to a bounded directory count. A probe
-   * prunes at file-listing time to the batch's (band, bucket_p)
-   * pairs — at most bands × bucketDirs directories exist, so the
-   * literal predicate is model-parameter-sized no matter the corpus;
-   * the exact 64-bit bucket match happens inside the pruned scan.
+   * Layout — two tables, because candidate generation and estimation
+   * read different widths (the "narrow shuffles, payloads fetched by
+   * join once" rule, applied to the index itself):
+   *  - `path/bands`: one NARROW row per (doc, band, bucket),
+   *    PARTITIONED BY (band, bucket_p) where bucket_p = bucket mod
+   *    `bucketDirs` folds the 64-bit bucket space to a bounded
+   *    directory count. A probe prunes at file-listing time to the
+   *    batch's (band, bucket_p) pairs — at most bands × bucketDirs
+   *    directories exist, so the literal predicate is
+   *    model-parameter-sized no matter the corpus; the exact 64-bit
+   *    bucket match happens inside the pruned scan.
+   *  - `path/sigs`: the k-component signature array ONCE per doc,
+   *    read only by the estimator's id-keyed fetch join.
+   * The first cut stored the full signature on every band row — a
+   * bands× (16×) payload blow-up that made a large-batch probe read
+   * more bytes than re-shingling the corpus costs (IndexProbe
+   * measured the probe LOSING 1.9× at a 100:1 corpus:batch ratio);
+   * split, the band scan is a few bytes per row and the sig fetch is
+   * one narrow column table.
    * A production deploy sizes bucketDirs so each directory holds a
    * few files (like shuffle-partition sizing); the fold changes only
    * the pruning granularity, never candidates.
@@ -694,8 +687,8 @@ object Dedup {
   def minhashIndexWrite(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       bucketDirs: Int = 64): Unit =
-    writeIndexRows(indexRows(df, idCol, textCol, n, bands, rowsPerBand,
-      bucketDirs), path, org.apache.spark.sql.SaveMode.Overwrite)
+    writeIndexRows(df, idCol, textCol, path, n, bands, rowsPerBand,
+      bucketDirs, org.apache.spark.sql.SaveMode.Overwrite)
 
   /**
    * APPEND a batch to a standing index — the write half of the
@@ -722,17 +715,58 @@ object Dedup {
   def minhashIndexAppend(df: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       bucketDirs: Int = 64): Unit =
-    writeIndexRows(indexRows(df, idCol, textCol, n, bands, rowsPerBand,
-      bucketDirs), path, org.apache.spark.sql.SaveMode.Append)
+    writeIndexRows(df, idCol, textCol, path, n, bands, rowsPerBand,
+      bucketDirs, org.apache.spark.sql.SaveMode.Append)
 
-  private def indexRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int): DataFrame =
-    minhashBanded(shingleHashes(df, idCol, textCol, n), bands, rowsPerBand)
+  /** One (doc, sig) row per document — the k-component signature as
+    * one array, same seeded xxhash64 stream as the in-memory paths. */
+  private[operators] def minhashSigRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    sh.groupBy(col("doc"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"sig_$i")): _*).as("sig"))
+  }
+
+  /** (doc, band, bucket, bucket_p) band rows derived from sig arrays —
+    * the band hash folds the same seeded sig components the in-memory
+    * paths use, read via element_at. `keepSig` carries the signature
+    * along (batch-side probes only — corpus band rows stay narrow). */
+  private[operators] def bandRowsOf(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketDirs: Int, keepSig: Boolean = false): DataFrame = {
+    val keep = if (keepSig) Seq(col("doc"), col("sig")) else Seq(col("doc"))
+    sigs.select(keep :+
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "bucket")): _*)
       .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong)))
+  }
 
-  private def writeIndexRows(rows: DataFrame, path: String,
-      mode: org.apache.spark.sql.SaveMode): Unit =
-    rows
+  private def sigsPath(path: String): String =
+    path.stripSuffix("/") + "/sigs"
+  private[operators] def bandsPath(path: String): String =
+    path.stripSuffix("/") + "/bands"
+
+  private def writeIndexRows(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val spark = df.sparkSession
+    val sigRows = minhashSigRows(df, idCol, textCol, n, bands * rowsPerBand)
+    // the sig write runs at full parallelism (a corpus-sized table must
+    // never funnel through one task) and IS the materialization of the
+    // expensive shingle+min pass: the band rows derive from reading it
+    // back, so the pass runs once with no extra checkpoint. On APPEND
+    // the read-back would see the whole standing table, so the
+    // batch-sized sig relation checkpoints instead — batch-sized state,
+    // the same class as the probe's.
+    sigRows.write.mode(mode).parquet(sigsPath(path))
+    val sigs =
+      if (mode == org.apache.spark.sql.SaveMode.Overwrite)
+        spark.read.parquet(sigsPath(path))
+      else materialize(sigRows)
+    bandRowsOf(sigs, bands, rowsPerBand, bucketDirs)
       // cluster rows by their target directory before the partitioned
       // write: otherwise EVERY shuffle partition writes a file into
       // every (band, bucket_p) directory it touches — up to
@@ -741,8 +775,18 @@ object Dedup {
       // by file commits). Clustered, each directory gets the files of
       // the one task that owns it — for an append, that also bounds
       // the added-file count by the batch's touched-directory count.
-      .repartition(col("band"), col("bucket_p"))
-      .write.mode(mode).partitionBy("band", "bucket_p").parquet(path)
+      // The partition count is PINNED: the narrow (doc, band, bucket)
+      // rows are small enough that AQE would coalesce an unpinned
+      // repartition to ~1 task, serializing up to bands × bucketDirs
+      // per-file opens/commits through it (measured 13s vs 1s at
+      // sf0.1); file-write parallelism is bounded by task count, not
+      // bytes, so the cluster-sized default stays right even when the
+      // shuffle is tiny.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket_p"))
+      .write.mode(mode).partitionBy("band", "bucket_p")
+      .parquet(bandsPath(path))
+  }
 
   /**
    * Probe the persisted index with a batch of new documents: shingle
@@ -758,10 +802,13 @@ object Dedup {
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       bucketDirs: Int = 64): DataFrame = {
     val k = bands * rowsPerBand
-    val banded = materialize(
-      minhashBanded(shingleHashes(newDocs, idCol, textCol, n),
-        bands, rowsPerBand)
-        .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong))))
+    val batchSigs = materialize(
+      minhashSigRows(newDocs, idCol, textCol, n, k))
+    // batch band rows CARRY the batch signature (batch-sized — the
+    // asymmetry with the corpus side is the point: the corpus band
+    // rows are narrow and its signatures arrive by one id-keyed fetch)
+    val banded = bandRowsOf(batchSigs, bands, rowsPerBand, bucketDirs,
+      keepSig = true)
     // sorted: collect() order varies run-to-run, and an unsorted
     // literal predicate is a different plan TEXT each run — a false
     // "plan flip" under fingerprinting (and cache-unfriendly besides)
@@ -771,17 +818,27 @@ object Dedup {
     val pred = byBand.toSeq.sortBy(_._1).map { case (b, ps) =>
       col("band") === b && col("bucket_p").isin(ps: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val index = newDocs.sparkSession.read.parquet(path).filter(pred)
+    val spark = newDocs.sparkSession
+    val idxBands = spark.read.parquet(bandsPath(path)).filter(pred)
+    // candidate generation touches ONLY the narrow band rows (the
+    // pruned scan carries doc + bucket, a few bytes per row); the
+    // signature arrays enter once per surviving candidate via the
+    // id-keyed fetch joins below.
     // shuffle-hash-pinned: at test SF both sides of the bucket join sit
     // near the broadcast threshold and an unhinted join lets AQE pick
     // the build side by stage-arrival order — a genuine run-to-run plan
     // flip (the dedup_components class). The hint is also the honest
     // 100 TB shape: both sides are data-sized, keyed on the bucket.
-    banded.as("a").join(index.as("b").hint("shuffle_hash"),
+    val cand = banded.as("a")
+      .join(idxBands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc").as("new_id"), col("b.doc").as("corpus_id"),
-        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+        col("a.sig").as("a_sig"))
       .distinct()
+    val corpusSigs = spark.read.parquet(sigsPath(path))
+      .select(col("doc").as("corpus_id"), col("sig").as("b_sig"))
+    cand
+      .join(corpusSigs.hint("shuffle_hash"), "corpus_id")
       // unrolled codegen'd agree-sum over the k components (the same
       // shape the in-memory path uses over its sig_i columns): the
       // aggregate(zip_with(...)) higher-order form is interpreted —

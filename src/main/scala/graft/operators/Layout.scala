@@ -92,7 +92,11 @@ object Layout {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     val df = spark.read.parquet(src)
     val nIn = df.inputFiles.length
-    df.repartition(partitionCols.map(col): _*)
+    // count pinned against AQE's small-shuffle coalescing: unpinned,
+    // a small table collapses to ~1 task that then opens/commits every
+    // directory's file serially (see minhashIndexWrite)
+    df.repartition(spark.sessionState.conf.numShufflePartitions,
+        partitionCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dest)
     (nIn, spark.read.parquet(dest).inputFiles.length)
   }

@@ -391,8 +391,12 @@ object Similarity {
       // cluster rows by their target directory first — otherwise every
       // shuffle partition writes a file into every cluster directory
       // it touches (parallelism × nCentroids small files + commits;
-      // see minhashIndexWrite for the measured cost of that shape)
-      .repartition(col("cluster"))
+      // see minhashIndexWrite for the measured cost of that shape).
+      // Count pinned: AQE coalesces an unpinned tiny repartition to ~1
+      // task, serializing every per-directory file open/commit
+      // through it (minhashIndexWrite measured 13s vs 1s).
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
 
   /** The persisted centroid matrix, cluster-id ordered. */
@@ -959,8 +963,10 @@ object Similarity {
             shiftright(col("code"), b * planesPerBand)
               .bitwiseAND(lit((1 << planesPerBand) - 1))
           }: _*)).as(Seq("band", "bucket"))): _*)
-      // cluster rows by target directory (see minhashIndexWrite)
-      .repartition(col("band"), col("bucket"))
+      // cluster rows by target directory, count pinned against AQE's
+      // small-shuffle coalescing (see minhashIndexWrite)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(path)
   }
 

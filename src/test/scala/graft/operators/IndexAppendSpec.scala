@@ -57,18 +57,23 @@ class IndexAppendSpec extends AnyFunSuite {
     val after = graft.Scratch.parquetFiles(idx)
     assertUntouched(before, after)
 
-    // commit footprint: one new file per (band, bucket_p) directory the
-    // batch touches — the repartition clusters each directory's rows
-    // into the single task that owns it
-    val touchedDirs = after.keySet.diff(before.keySet)
+    // commit footprint of the PARTITIONED band table: one new file per
+    // (band, bucket_p) directory the batch touches — the repartition
+    // clusters each directory's rows into the single task that owns
+    // it. (The flat sigs table appends at write parallelism — a
+    // corpus-sized table must never funnel through one task — so its
+    // file count is task-count-sized, not directory-bounded.)
+    val newFiles = after.keySet.diff(before.keySet)
+    val newBandFiles = newFiles.filter(_.contains("band="))
+    val touchedDirs = newBandFiles
       .map(f => f.split("/").dropRight(1).mkString("/"))
-    val added = after.size - before.size
-    assert(added == touchedDirs.size,
-      s"$added files added across ${touchedDirs.size} directories — " +
-        "append wrote multiple files into one directory")
+    assert(newBandFiles.size == touchedDirs.size,
+      s"${newBandFiles.size} band files added across ${touchedDirs.size} " +
+        "directories — append wrote multiple files into one directory")
     // and bounded by the layout (16 bands × 64 bucket dirs), never the
     // corpus: the batch is ~10% of 500 docs, so well under the cap
-    assert(added <= 16 * 64)
+    assert(newBandFiles.size <= 16 * 64)
+    assert(newFiles.exists(_.contains("sigs")), "no sig file appended")
 
     // incremental == from-scratch, including the estimate column
     Dedup.minhashIndexWrite(docs.filter(col("doc_id") % 10 =!= 0),

@@ -62,9 +62,17 @@ class IndexCompactSpec extends AnyFunSuite {
     val beforeProbe = probeSet(idx)
     assert(beforeProbe.nonEmpty)
 
-    val (nIn, nOut) = Layout.compactPartitioned(spark, idx, compacted,
+    // compact the partitioned band table in place of the appended one;
+    // the flat sigs table compacts with Layout.compact on its own
+    val (nIn, nOut) = Layout.compactPartitioned(spark,
+      Dedup.bandsPath(idx), Dedup.bandsPath(compacted),
       Seq("band", "bucket_p"))
     assert(nOut < nIn, s"compaction did not shrink the index: $nIn -> $nOut")
+    val (sigsIn, sigsOut) = Layout.compact(spark, idx + "/sigs",
+      compacted + "/sigs", targetFileBytes = 128L << 20)
+    assert(sigsIn >= 3 && sigsOut == 1,
+      s"sigs table: expected >=3 append-fragmented files -> 1, " +
+        s"got $sigsIn -> $sigsOut")
     assert(probeSet(compacted) == beforeProbe,
       "compaction changed probe results")
 
@@ -75,8 +83,9 @@ class IndexCompactSpec extends AnyFunSuite {
     val probe = Dedup.minhashProbe(one, compacted, "doc_id", "text")
     probe.collect()
     val idxScans = scans(probe.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("compacted")))
-    assert(idxScans.nonEmpty, "no index file scan found in the probe plan")
+      .filter(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains("compacted") && p.toString.contains("/bands")))
+    assert(idxScans.nonEmpty, "no band-row file scan found in the probe plan")
     val filesRead = idxScans.map(_.metrics("numFiles").value).sum
     assert(filesRead <= 16L * 4,
       s"probe read $filesRead files on the compacted index — pruning lost")

@@ -72,11 +72,13 @@ class MinhashIndexSpec extends AnyFunSuite {
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
         case other => other.children.flatMap(scans)
       }
-    // the index scan is the one whose relation lives under `path`
-    val idxScans = scans(probe.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_mh_prune")))
-    assert(idxScans.nonEmpty, "no index file scan found in the plan")
-    val filesRead = idxScans.map(_.metrics("numFiles").value).sum
+    // partition pruning applies to the BAND-ROW scan (the sig tables
+    // are id-keyed fetch joins, read whole by design — they carry one
+    // narrow row per doc, no partition layout to prune)
+    val bandScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/bands")))
+    assert(bandScans.nonEmpty, "no band-row file scan found in the plan")
+    val filesRead = bandScans.map(_.metrics("numFiles").value).sum
     // one doc probes 16 band buckets → at most 16 directories of the
     // (band × bucket_p) layout; the corpus spreads over far more
     assert(filesRead < allFiles,
