@@ -748,6 +748,74 @@ object Dedup {
     path.stripSuffix("/") + "/sigs"
   private[operators] def bandsPath(path: String): String =
     path.stripSuffix("/") + "/bands"
+  private[operators] def tombstonesPath(path: String): String =
+    path.stripSuffix("/") + "/tombstones"
+
+  /**
+   * DELETE documents from a standing index — the third CRUD leg of
+   * the incremental story (`minhashIndexAppend` grows it, this
+   * shrinks it) as a TOMBSTONE append: removing a day's expired or
+   * retracted documents must not rewrite the corpus index, so the
+   * deleted ids land as new files in a flat `tombstones` table and
+   * every probe anti-joins its candidates against it. Deletion cost
+   * is delete-sized, probe overhead is one keyed anti-join against a
+   * delete-sized relation, and pre-existing index files are never
+   * opened — the same additive-commit contract as append
+   * (IndexDeleteSpec pins it file-by-file).
+   *
+   * Semantics: a tombstone masks the id ENTIRELY — including any
+   * band/sig rows appended for that id later — so re-adding a
+   * previously-deleted id requires [[minhashIndexVacuum]] first
+   * (which physically drops masked rows and clears the tombstone
+   * set). The registry's `minhash_index_delete` proves
+   * probe-after-delete ≡ probe-after-rebuild-without-the-deleted,
+   * estimator values included.
+   */
+  def minhashIndexDelete(ids: DataFrame, path: String,
+      idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(tombstonesPath(path))
+
+  /**
+   * VACUUM a standing index: physically drop every tombstone-masked
+   * band/sig row and start a fresh (empty) tombstone set. Pairs with
+   * [[minhashIndexDelete]] the way `Layout.compactPartitioned` pairs
+   * with append — the owner runs it on their own cadence when the
+   * masked fraction (or the tombstone table) has grown enough to be
+   * worth a rewrite; probes are exact before AND after (the
+   * tombstone mask and the physical drop are the same predicate).
+   * Writes to a NEW root (same non-atomic-swap contract as compact).
+   * The anti-joins are keyed on the doc id and the partitioned
+   * rewrite reuses the pinned cluster-by-directory shape, so the
+   * pass is one shuffle per table at full parallelism.
+   */
+  def minhashIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String): Unit = {
+    val tombs = readTombstones(spark, src)
+      .getOrElse(spark.emptyDataFrame.withColumn("doc", lit(0L)))
+      .select(col("doc"))
+    spark.read.parquet(sigsPath(src))
+      .join(tombs.hint("shuffle_hash"), Seq("doc"), "left_anti")
+      .write.mode("overwrite").parquet(sigsPath(dest))
+    spark.read.parquet(bandsPath(src))
+      .join(tombs.hint("shuffle_hash"), Seq("doc"), "left_anti")
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket_p"))
+      .write.mode("overwrite").partitionBy("band", "bucket_p")
+      .parquet(bandsPath(dest))
+  }
+
+  /** The tombstone table if any deletes have landed, else None — a
+    * missing directory is the (common) never-deleted case and must
+    * not cost the probe a plan node. */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(tombstonesPath(path)))
+    else None
+  }
 
   private def writeIndexRows(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int,
@@ -835,9 +903,18 @@ object Dedup {
       .select(col("a.doc").as("new_id"), col("b.doc").as("corpus_id"),
         col("a.sig").as("a_sig"))
       .distinct()
+    // tombstone mask (only when deletes have landed): candidates
+    // against deleted corpus docs drop BEFORE their signatures are
+    // fetched — one keyed anti-join against a delete-sized relation
+    val live = readTombstones(spark, path) match {
+      case Some(tombs) => cand.join(
+        tombs.select(col("doc").as("corpus_id")).hint("shuffle_hash"),
+        Seq("corpus_id"), "left_anti")
+      case None => cand
+    }
     val corpusSigs = spark.read.parquet(sigsPath(path))
       .select(col("doc").as("corpus_id"), col("sig").as("b_sig"))
-    cand
+    live
       .join(corpusSigs.hint("shuffle_hash"), "corpus_id")
       // unrolled codegen'd agree-sum over the k components (the same
       // shape the in-memory path uses over its sig_i columns): the

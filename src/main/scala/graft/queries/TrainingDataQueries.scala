@@ -464,6 +464,60 @@ object TrainingDataQueries {
   }
 
   /**
+   * Self-checking form of the tombstone DELETE leg: index the full
+   * corpus, tombstone one slice, and probe — the masked probe must
+   * EQUAL the from-scratch in-memory banded join over the corpus
+   * WITHOUT the deleted slice (`minhashLshPairs` never touches the
+   * index machinery, so the reference is independent of every
+   * persisted-index code path; est values join exactly because both
+   * sides run the same seeded signature stream). File contract
+   * (delete appends only tombstone files, pre-existing untouched) is
+   * folded in as flags; the heavier probe-after-delete ≡
+   * probe-after-rebuild two-index compare and the vacuum leg live in
+   * IndexDeleteSpec.
+   */
+  def minhashIndexDeleteChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val deleted = docs.filter(col("doc_id") % 10 === 9)
+    val path = graft.Scratch.tempDir("graft_mh_del") + "/idx"
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
+    val filesBefore = graft.Scratch.parquetFiles(path)
+    Dedup.minhashIndexDelete(deleted.select(col("doc_id")), path, "doc_id")
+    val filesAfter = graft.Scratch.parquetFiles(path)
+    val untouched = filesBefore.forall { case (f, sz) =>
+      filesAfter.get(f).contains(sz) }
+    val tombstoneOnly = filesAfter.keySet.diff(filesBefore.keySet)
+      .forall(_.contains("tombstones"))
+    val probed = Dedup.minhashProbe(incoming, path, "doc_id", "text")
+    // from-scratch reference: banded pairs over (corpus \ deleted) ∪
+    // batch, oriented to (new_id, corpus_id) cross pairs
+    val reference = Dedup.minhashLshPairs(
+        docs.filter(col("doc_id") % 10 =!= 9), "doc_id", "text")
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+        when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("corpus_id"),
+        col("est_jaccard"))
+    val mism = probed.withColumn("in_a", lit(1))
+      .join(reference.withColumn("in_b", lit(1)).hint("shuffle_hash"),
+        Seq("new_id", "corpus_id", "est_jaccard"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_a").isNull || col("in_b").isNull, 1)).as("n_mism"))
+    docs.agg(
+        count(when(col("doc_id") % 10 =!= 0, 1)).as("n_corpus"),
+        count(when(col("doc_id") % 10 === 9, 1)).as("n_deleted"),
+        count(when(col("doc_id") % 10 === 0, 1)).as("n_incoming"))
+      .crossJoin(broadcast(mism))
+      .select(col("n_corpus"), col("n_deleted"), col("n_incoming"),
+        (col("n_mism") === 0).as("probe_equals_reference"),
+        (col("n_union") > 0).as("probes_nonempty"),
+        lit(untouched).as("preexisting_untouched"),
+        lit(tombstoneOnly).as("tombstones_only_append"))
+  }
+
+  /**
    * The WHOLE incremental dedup loop, steady-state round N, as one
    * self-checking query — the composition of the three anchors that
    * proved its legs separately (`minhash_index` = probe,
@@ -533,6 +587,7 @@ object TrainingDataQueries {
     "incr_dedup_loop" -> incrDedupLoopChecked _,
     "pipeline_curate" -> pipelineCurate _,
     "minhash_index_append" -> minhashIndexAppendChecked _,
+    "minhash_index_delete" -> minhashIndexDeleteChecked _,
     "minhash_index" -> minhashIndexChecked _,
     "cc_incremental" -> ccIncremental _,
     "source_profile" -> sourceProfile _,
@@ -1053,6 +1108,16 @@ object TrainingDataQueries {
         | count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_incoming,
         | TRUE AS probe_equals_rebuild, TRUE AS probes_nonempty,
         | TRUE AS preexisting_untouched, TRUE AS index_grew
+        |FROM documents""".stripMargin,
+    // minhash_index_delete: split counts recomputed as hard values;
+    // masked-probe ≡ from-scratch-reference and the tombstone file
+    // contract are Spark-side checks pinned TRUE
+    "minhash_index_delete" ->
+      """SELECT count(CASE WHEN doc_id % 10 != 0 THEN 1 END) AS n_corpus,
+        | count(CASE WHEN doc_id % 10 = 9 THEN 1 END) AS n_deleted,
+        | count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_incoming,
+        | TRUE AS probe_equals_reference, TRUE AS probes_nonempty,
+        | TRUE AS preexisting_untouched, TRUE AS tombstones_only_append
         |FROM documents""".stripMargin,
     // minhash_index: oracle recomputes the exact cross-corpus pair
     // count (incoming = doc_id % 10 = 0 vs the indexed rest) and pins
