@@ -769,13 +769,13 @@ object Dedup {
    * (which physically drops masked rows and clears the tombstone
    * set). The registry's `minhash_index_delete` proves
    * probe-after-delete ≡ probe-after-rebuild-without-the-deleted,
-   * estimator values included.
+   * estimator values included. The mechanism ([[IndexTombstones]]) is
+   * shared with the ANN index family — encoding knows nothing about
+   * deletion, so one tombstone table shape serves every index.
    */
   def minhashIndexDelete(ids: DataFrame, path: String,
       idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("doc")).distinct()
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(tombstonesPath(path))
+    IndexTombstones.delete(ids, idCol, tombstonesPath(path))
 
   /**
    * VACUUM a standing index: physically drop every tombstone-masked
@@ -792,29 +792,14 @@ object Dedup {
    */
   def minhashIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String): Unit = {
-    val tombs = readTombstones(spark, src)
-      .getOrElse(spark.emptyDataFrame.withColumn("doc", lit(0L)))
-      .select(col("doc"))
-    spark.read.parquet(sigsPath(src))
-      .join(tombs.hint("shuffle_hash"), Seq("doc"), "left_anti")
+    val tp = tombstonesPath(src)
+    IndexTombstones.mask(spark.read.parquet(sigsPath(src)), "doc", tp)
       .write.mode("overwrite").parquet(sigsPath(dest))
-    spark.read.parquet(bandsPath(src))
-      .join(tombs.hint("shuffle_hash"), Seq("doc"), "left_anti")
+    IndexTombstones.mask(spark.read.parquet(bandsPath(src)), "doc", tp)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket_p"))
       .write.mode("overwrite").partitionBy("band", "bucket_p")
       .parquet(bandsPath(dest))
-  }
-
-  /** The tombstone table if any deletes have landed, else None — a
-    * missing directory is the (common) never-deleted case and must
-    * not cost the probe a plan node. */
-  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(tombstonesPath(path)))
-    else None
   }
 
   private def writeIndexRows(df: DataFrame, idCol: String, textCol: String,
@@ -906,12 +891,7 @@ object Dedup {
     // tombstone mask (only when deletes have landed): candidates
     // against deleted corpus docs drop BEFORE their signatures are
     // fetched — one keyed anti-join against a delete-sized relation
-    val live = readTombstones(spark, path) match {
-      case Some(tombs) => cand.join(
-        tombs.select(col("doc").as("corpus_id")).hint("shuffle_hash"),
-        Seq("corpus_id"), "left_anti")
-      case None => cand
-    }
+    val live = IndexTombstones.mask(cand, "corpus_id", tombstonesPath(path))
     val corpusSigs = spark.read.parquet(sigsPath(path))
       .select(col("doc").as("corpus_id"), col("sig").as("b_sig"))
     live

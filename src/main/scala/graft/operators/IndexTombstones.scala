@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The DELETE mechanism shared by every persisted index in the repo
+ * (the MinHash band index and the banded-LSH/IVF/PQ/SQ8 ANN family):
+ * deletions land as an append-only TOMBSTONE table next to the index
+ * and probes anti-join their candidates against it, so removing
+ * documents never opens — let alone rewrites — a corpus-index file.
+ * The write is delete-sized, the probe overhead is one keyed
+ * anti-join against a delete-sized relation, and the never-deleted
+ * common case costs nothing (no tombstone directory → no plan node).
+ *
+ * A tombstone masks an id ENTIRELY, including rows appended for that
+ * id after the delete — the unambiguous contract when appends and
+ * deletes interleave (no per-row versioning in the index). Re-adding
+ * a previously-deleted id therefore requires the owner's vacuum pass
+ * first (each index family exposes one: physically drop masked rows
+ * into a fresh root, start an empty tombstone set). Encoding knows
+ * nothing about deletion, so ONE mechanism serves every family; only
+ * vacuum is per-family (each rewrites its own layout).
+ */
+object IndexTombstones {
+
+  /** Sibling-path convention for the flat/partitioned ANN indexes
+    * (their model parameters already live at `_centroids`/`_codebook`/
+    * `_params`); the minhash index nests `tombstones/` under its root
+    * instead, next to `bands/` and `sigs/`. */
+  def siblingPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_tombstones"
+
+  /** Append `ids` to the tombstone set at `tombstonesPath` — the whole
+    * delete operation. Stored as a single long `id` column; distinct
+    * within the batch (re-deleting an id is idempotent semantically,
+    * and the table stays delete-history-sized, compacted at vacuum). */
+  def delete(ids: DataFrame, idCol: String, tombstonesPath: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombstonesPath)
+
+  /** The tombstone ids if any delete has landed, else None — a missing
+    * directory is the common never-deleted case and must not cost the
+    * probe a plan node (or a parquet footer read). */
+  def read(spark: SparkSession, tombstonesPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(tombstonesPath)) else None
+  }
+
+  /** Drop `rows` whose `idCol` is tombstoned: one keyed anti-join
+    * against the delete-sized relation (shuffle-hash-pinned — a
+    * tombstone set is never the broadcast-vs-hash coin flip AQE should
+    * decide from stage stats), or `rows` unchanged when no deletes
+    * have landed. Apply BEFORE ranking/top-k so deleted rows can't eat
+    * result slots. */
+  def mask(rows: DataFrame, idCol: String, tombstonesPath: String): DataFrame =
+    read(rows.sparkSession, tombstonesPath) match {
+      case Some(tombs) =>
+        val t = tombs.select(col("id").as("__tomb_id"))
+        rows.join(t.hint("shuffle_hash"),
+          rows(idCol) === t("__tomb_id"), "left_anti")
+      case None => rows
+    }
+}

@@ -437,8 +437,10 @@ object Similarity {
     val probes = centroids.toSeq.sortBy { case (_, c) => -cosTo(c) }
       .take(nProbe).map(_._1)
     val qv = array(queryVec.map(lit): _*)
-    val hits = spark.read.parquet(path)
-      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+    val hits = IndexTombstones.mask(
+      spark.read.parquet(path)
+        .filter(col("cluster").isin(probes.map(Integer.valueOf): _*)),
+      idCol, IndexTombstones.siblingPath(path))
     excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id))
       .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
       .select(col(idCol), col("cluster"), col("cos"))
@@ -711,7 +713,8 @@ object Similarity {
       }
       s += 1
     }
-    val codes = spark.read.parquet(path)
+    val codes = IndexTombstones.mask(spark.read.parquet(path), "id",
+      IndexTombstones.siblingPath(path))
     val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
       .withColumn("aip",
         graft.functions.VectorFunctions.pqAdc(col("code"), lut, m, ksub))
@@ -889,7 +892,8 @@ object Similarity {
     val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
     val qu = queryVec.map(_ / qnrm)
     val (weights, qConst) = sq8QueryFold(qu, mins, maxs)
-    val codes = spark.read.parquet(path)
+    val codes = IndexTombstones.mask(spark.read.parquet(path), "id",
+      IndexTombstones.siblingPath(path))
     val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
       .withColumn("aip",
         graft.functions.VectorFunctions.sq8Adc(col("code"), weights, qConst))
@@ -999,11 +1003,81 @@ object Similarity {
     val hits = spark.read.parquet(path).filter(pred)
     // exclude BEFORE ranking — a corpus-resident query vector sits in
     // its own buckets at cos 1.0 and would eat a top-k slot
-    excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id))
+    val live = IndexTombstones.mask(
+      excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id)),
+      idCol, IndexTombstones.siblingPath(path))
+    live
       .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
       .select(col(idCol), col("cos"))
       .distinct()
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * DELETE vectors from ANY standing ANN index (banded-LSH, IVF, PQ,
+   * SQ8 — encoding knows nothing about deletion, so one operation
+   * serves the whole family): the ids land as an append-only
+   * tombstone table at the index's `_tombstones` sibling and every
+   * probe anti-joins its candidates against it BEFORE ranking, so a
+   * deleted vector can neither appear in results nor eat a top-k
+   * slot. Delete-sized write, pre-existing index files never opened
+   * (IndexDeleteSpec pins the file contract per family). A tombstone
+   * masks the id entirely — including rows appended later — until
+   * the family's vacuum pass ([[annIndexVacuum]]/[[ivfIndexVacuum]]/
+   * [[pqIndexVacuum]]/[[sq8IndexVacuum]]) physically drops masked
+   * rows and clears the set.
+   */
+  def indexDelete(ids: DataFrame, path: String, idCol: String): Unit =
+    IndexTombstones.delete(ids, idCol, IndexTombstones.siblingPath(path))
+
+  /** VACUUM a banded-LSH index: drop masked rows into a fresh root
+    * (same pinned cluster-by-directory write shape as build/append so
+    * probe pruning survives) and start an empty tombstone set. The
+    * seeded planes are implicit in (dim, bands, planesPerBand), so
+    * rows rewrite verbatim — no parameter table to carry. */
+  def annIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, idCol: String): Unit =
+    IndexTombstones.mask(spark.read.parquet(src), idCol,
+        IndexTombstones.siblingPath(src))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(dest)
+
+  /** VACUUM an IVF index: masked rows drop, the FROZEN centroid table
+    * copies verbatim (vacuum is maintenance, not a refit — assignment
+    * of every surviving row stays valid by construction). */
+  def ivfIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, idCol: String): Unit = {
+    IndexTombstones.mask(spark.read.parquet(src), idCol,
+        IndexTombstones.siblingPath(src))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dest)
+    spark.read.parquet(centroidsPath(src)).coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(dest))
+  }
+
+  /** VACUUM a PQ index: masked codes drop, the frozen codebook copies
+    * verbatim. */
+  def pqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String): Unit = {
+    IndexTombstones.mask(spark.read.parquet(src), "id",
+        IndexTombstones.siblingPath(src))
+      .write.mode("overwrite").parquet(dest)
+    spark.read.parquet(codebookPath(src)).coalesce(1)
+      .write.mode("overwrite").parquet(codebookPath(dest))
+  }
+
+  /** VACUUM an SQ8 index: masked codes drop, the frozen (min, max)
+    * grid copies verbatim (no re-quantization — the surviving codes
+    * stay bit-identical, so probes are exact across the vacuum). */
+  def sq8IndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String): Unit = {
+    IndexTombstones.mask(spark.read.parquet(src), "id",
+        IndexTombstones.siblingPath(src))
+      .write.mode("overwrite").parquet(dest)
+    spark.read.parquet(paramsPath(src)).coalesce(1)
+      .write.mode("overwrite").parquet(paramsPath(dest))
   }
 }
