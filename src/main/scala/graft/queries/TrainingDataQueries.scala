@@ -583,7 +583,97 @@ object TrainingDataQueries {
         (col("n_union") > 0).as("components_nonempty"))
   }
 
+  /**
+   * Incremental dedup as a LIVE STREAM — the deployment shape of the
+   * batch loop above (`incr_dedup_loop` proves one steady-state round;
+   * this proves the loop under a real Structured Streaming driver):
+   * the corpus is re-laid as four id-range slices and replayed as a
+   * file stream (`maxFilesPerTrigger=1` → four successive
+   * microbatches); `foreachBatch` runs the production per-arrival
+   * round — emit the batch's near-dup pairs against everything seen
+   * so far (index probe for cross-batch + the batch's own banded join
+   * for intra-batch), then append the batch's signatures into the
+   * standing index for the next arrival. Each batch shingles ONLY
+   * itself; the standing corpus is touched through the pruned index
+   * probe alone.
+   *
+   * The check is EXACT, not statistical: because per-doc signatures
+   * are a pure seeded function of text and every unordered pair falls
+   * in exactly one emission (intra when both docs share an arrival,
+   * cross when the later one lands), the union of emitted pairs over
+   * all microbatches must EQUAL the one-shot `minhashLshPairs` over
+   * the whole corpus — estimator values included — independent of how
+   * the stream was sliced or ordered (the stream_cdc convergence
+   * contract, applied to dedup). The oracle additionally recomputes
+   * the SQL-exact Jaccard≥0.8 pair count and pins the 0.95 recall
+   * floor on the emitted set, so the flag row is anchored to a hard
+   * number, not just internal consistency.
+   */
+  def streamDedupIndexChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val work = graft.Scratch.tempDir("graft_sdi")
+    docs.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/arrivals")
+    val schema = spark.read.parquet(s"$work/arrivals").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/arrivals")
+    val idx = s"$work/idx"
+    val pairsDir = s"$work/pairs"
+    val indexed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+        if (!b.isEmpty) {
+          val intra = Dedup.minhashLshPairs(b, "doc_id", "text")
+            .select(col("id1"), col("id2"), col("est_jaccard"))
+          val emitted =
+            if (indexed.get()) {
+              // cross pairs canonicalized to (lo, hi) — the probe's
+              // (new, corpus) orientation is arrival metadata, the
+              // dedup graph is undirected
+              val cross = Dedup.minhashProbe(b, idx, "doc_id", "text")
+                .select(
+                  least(col("new_id"), col("corpus_id")).as("id1"),
+                  greatest(col("new_id"), col("corpus_id")).as("id2"),
+                  col("est_jaccard"))
+              intra.unionByName(cross)
+            } else intra
+          emitted.write.mode("append").parquet(pairsDir)
+          if (indexed.get()) Dedup.minhashIndexAppend(b, idx, "doc_id", "text")
+          else { Dedup.minhashIndexWrite(b, "doc_id", "text", idx)
+                 indexed.set(true) }
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val emitted = spark.read.parquet(pairsDir)
+    val reference = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+    // shuffle-hash-pinned: both sides are pair-count-sized and an
+    // unhinted tiny join races AQE's build-side choice (plan flip)
+    val mism = emitted.withColumn("in_a", lit(1))
+      .join(reference.withColumn("in_b", lit(1)).hint("shuffle_hash"),
+        Seq("id1", "id2", "est_jaccard"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_a").isNull || col("in_b").isNull, 1)).as("n_mism"))
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    exact
+      .join(emitted.select(col("id1"), col("id2"))
+          .withColumn("hit", lit(1)).hint("shuffle_hash"),
+        Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        (count(col("hit")) >= count(lit(1)) * 0.95).as("within_bound"),
+        (count(lit(1)) > 0).as("nonempty"))
+      .crossJoin(broadcast(mism))
+      .select(col("n_exact_pairs"), col("within_bound"),
+        (col("n_mism") === 0).as("stream_equals_batch"),
+        (col("n_union") > 0).as("pairs_nonempty"), col("nonempty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_index" -> streamDedupIndexChecked _,
     "incr_dedup_loop" -> incrDedupLoopChecked _,
     "pipeline_curate" -> pipelineCurate _,
     "minhash_index_append" -> minhashIndexAppendChecked _,
@@ -1139,6 +1229,28 @@ object TrainingDataQueries {
         |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8
         |          AND (id1 % 10 = 0) != (id2 % 10 = 0))
         |SELECT count(*) AS n_exact_cross, TRUE AS within_bound,
+        | TRUE AS nonempty
+        |FROM prs""".stripMargin,
+    // stream_dedup_index: the SQL-exact Jaccard pair count is the hard
+    // anchor; stream ≡ one-shot-batch equality and the recall floor
+    // are Spark-side checks pinned TRUE
+    "stream_dedup_index" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id AS doc,
+        |          array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |        FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc, s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT doc, count(*) AS szc FROM sh GROUP BY 1),
+        |ints AS (SELECT a.doc AS id1, b.doc AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+        |         GROUP BY 1, 2),
+        |prs AS (SELECT id1, id2 FROM ints
+        |        JOIN sz x ON id1 = x.doc JOIN sz y ON id2 = y.doc
+        |        WHERE round(inter * 1.0 / (x.szc + y.szc - inter), 6) >= 0.8)
+        |SELECT count(*) AS n_exact_pairs, TRUE AS within_bound,
+        | TRUE AS stream_equals_batch, TRUE AS pairs_nonempty,
         | TRUE AS nonempty
         |FROM prs""".stripMargin,
     "dedup_minhash_lsh" ->
