@@ -141,7 +141,82 @@ object Multimodal {
       .withColumn("pad_y", lit(targetH) - col("out_h"))
       .orderBy(col("asset_id"))
 
+  /**
+   * Perceptual NEAR-dup media dedup — the stage after [[mm_dedup]]'s
+   * exact content addressing: re-encoded/lightly-edited copies share
+   * no content hash but land within a few bits of each other under a
+   * locality-sensitive perceptual hash. The hash here is a 64-bit
+   * SimHash over the payload's char 3-grams (the deterministic
+   * stand-in for a real pHash over decoded pixels — same seam as
+   * `fakeDecode`, and the banding/query machinery is decode-agnostic),
+   * built from md5 so the DuckDB oracle reproduces every bit and the
+   * registry check is ROW-exact, not a recall flag (contrast
+   * `dedup_simhash`, whose xxhash64 bits the oracle can't recompute).
+   *
+   * Candidate generation is pigeonhole-COMPLETE, not probabilistic:
+   * the 64 bits split into 4 bands of 16; two hashes within Hamming
+   * distance τ=3 differ in at most 3 bands, so they MATCH on at least
+   * one — every qualifying pair is a candidate by construction (the
+   * classic simhash-dedup decomposition). Scale shape: one band
+   * equi-join on (band, 16-bit value) — ~n²/2¹⁶ candidate pairs per
+   * band against a full corpus, each verified by 4 codegen'd
+   * bit_count(xor) ops; signatures travel once per doc (narrow band
+   * rows, wide rows fetched per surviving candidate — the index
+   * layout rule). No full-signature shuffle, no quadratic stage.
+   */
+  def nearDupMedia(manifestDf: DataFrame, tau: Int = 3): DataFrame = {
+    val bands = 4
+    val bitsPerBand = 16
+    // per-gram feature bits: first 16 md5 hex chars = 64 bits, read as
+    // four 16-bit words (one md5 per gram, substring'd — never four)
+    val grams = manifestDf
+      .select(col("asset_id"), col("payload").cast("string").as("p"))
+      .select(col("asset_id"), explode(expr(
+        "transform(sequence(1, greatest(length(p) - 2, 1)), i -> substring(p, i, 3))"))
+        .as("ng"))
+      .withColumn("hex", substring(md5(col("ng").cast("binary")), 1, 16))
+      .select(col("asset_id") +:
+        (0 until bands).map(b =>
+          conv(substring(col("hex"), b * 4 + 1, 4), 16, 10)
+            .cast("long").as(s"w_$b")): _*)
+    // the SimHash majority vote: one doc-keyed aggregate with 64
+    // map-side-partial sums (±1 per gram per bit); ties break to 1
+    // (>= 0) identically in the oracle
+    val sCols = for (b <- 0 until bands; j <- 0 until bitsPerBand) yield
+      sum(when(shiftright(col(s"w_$b"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s_${b}_$j")
+    val sums = grams.groupBy(col("asset_id")).agg(sCols.head, sCols.tail: _*)
+    val sig = Dedup.materialize(sums.select(col("asset_id") +:
+      (0 until bands).map(b => (0 until bitsPerBand).map(j =>
+          when(col(s"s_${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"bv_$b")): _*))
+    val banded = sig.select(col("asset_id"),
+      posexplode(array((0 until bands).map(b => col(s"bv_$b")): _*))
+        .as(Seq("band", "bv")))
+    // shuffle-hash-pinned: at test SF these joins sit near the
+    // broadcast threshold and an unhinted join races AQE's build-side
+    // choice (the dedup_components plan-flip class); hash is also the
+    // honest corpus-scale shape — both sides data-sized
+    val cand = banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"))
+      .distinct()
+    cand
+      .join(sig.as("sa").hint("shuffle_hash"), col("id1") === col("sa.asset_id"))
+      .join(sig.as("sb").hint("shuffle_hash"), col("id2") === col("sb.asset_id"))
+      .select(col("id1"), col("id2"),
+        (0 until bands).map(b =>
+            bit_count(col(s"sa.bv_$b").bitwiseXOR(col(s"sb.bv_$b"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= tau)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup_near" -> ((s, d) =>
+      nearDupMedia(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_resize" -> ((s, d) =>
       resizePlan(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_frames" -> ((s, d) =>
@@ -182,6 +257,32 @@ object Multimodal {
     s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
+    // bit-exact mirror of the md5 SimHash + pigeonhole band join:
+    // same grams, same 16-bit words, same ±1 majority vote with ties
+    // to 1, same band candidates, same bit_count(xor) verify
+    "mm_dedup_near" ->
+      """WITH p AS (SELECT doc_id AS asset_id, text AS pl FROM documents),
+        |g AS (SELECT asset_id, substr(pl, i, 3) AS ng
+        |      FROM p, unnest(range(1, greatest(length(pl) - 2, 1) + 1)) t(i)),
+        |hx AS (SELECT asset_id, substr(md5(ng), 1, 16) AS hex FROM g),
+        |w AS (SELECT asset_id, b, ('0x' || substr(hex, b * 4 + 1, 4))::BIGINT AS wv
+        |      FROM hx, unnest(range(0, 4)) tb(b)),
+        |s AS (SELECT asset_id, b, j,
+        |        sum(CASE WHEN (wv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+        |      FROM w, unnest(range(0, 16)) tj(j) GROUP BY 1, 2, 3),
+        |bv AS (SELECT asset_id, b,
+        |        CAST(sum(CASE WHEN sv >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bvv
+        |       FROM s GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.asset_id AS id1, b2.asset_id AS id2
+        |         FROM bv a JOIN bv b2 ON a.b = b2.b AND a.bvv = b2.bvv
+        |           AND a.asset_id < b2.asset_id),
+        |d AS (SELECT id1, id2,
+        |        CAST(sum(bit_count(xor(x.bvv, y.bvv))) AS BIGINT) AS hamming
+        |      FROM cand JOIN bv x ON x.asset_id = id1
+        |        JOIN bv y ON y.asset_id = id2 AND y.b = x.b
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM d WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
     // The decoder stub runs as imperative JVM code inside mapPartitions
     // — so its oracle re-implements the SAME byte-level spec in pure
     // SQL: the FNV-1a fold as a HUGEINT list_reduce with the wrapping
