@@ -511,6 +511,17 @@ object EtlQueries {
     "graph_degrees" -> graphDegrees _,
     "graph_butterflies" -> ((s, d) => graphButterflies(s, d)),
     "graph_pagerank" -> graphPageRank _,
+    // k=16 peels a nontrivial periphery at every tested SF; maxRounds
+    // pinned to the oracle's unroll depth (output is exact for ANY
+    // depth — survivors report round 0 "in core as of R rounds")
+    "graph_kcore" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.KCore.kCorePeel(edges, "src", "dst", k = 16,
+        maxRounds = 12)
+    }),
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
     "account_flags" -> accountFlags _,
@@ -628,6 +639,33 @@ object EtlQueries {
         | round(sum(c_acctbal), 4) AS total_balance
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // graph_kcore: the peel unrolled to the pinned 12 rounds — round i
+    // recomputes degrees within the round-(i-1) survivor set; nodes
+    // missing from a round's degree table (no surviving edges) peel
+    // that round, exactly as the Spark loop's anti-join form does
+    "graph_kcore" -> {
+      val rounds = 12
+      val head =
+        // MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+        // default; 12 rounds x re-expanded scans exhausts file handles
+        """WITH e AS MATERIALIZED (SELECT DISTINCT 'c'||o_custkey AS u, 's'||l_suppkey AS v
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+          |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),""".stripMargin
+      val iters = (1 to rounds).map { i =>
+        s"""d$i AS (SELECT x.u AS node, count(*) AS dg FROM und x
+           |  JOIN a${i - 1} p ON x.u = p.node JOIN a${i - 1} q ON x.v = q.node
+           |  GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 16),
+           |p$i AS (SELECT node, $i AS r FROM a${i - 1}
+           |  WHERE node NOT IN (SELECT node FROM a$i))""".stripMargin
+      }.mkString(",\n")
+      val unioned = (1 to rounds).map(i => s"SELECT node, r FROM p$i")
+        .mkString(" UNION ALL ") +
+        s" UNION ALL SELECT node, 0 AS r FROM a$rounds"
+      head + "\n" + iters + "\n" +
+        s"SELECT node, CAST(r AS INTEGER) AS peeled_round FROM ($unioned) ORDER BY node"
+    },
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
         |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
