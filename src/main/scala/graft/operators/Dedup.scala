@@ -804,16 +804,23 @@ object Dedup {
 
   private def writeIndexRows(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    writeIndexRowsFromSigs(
+      minhashSigRows(df, idCol, textCol, n, bands * rowsPerBand),
+      path, bands, rowsPerBand, bucketDirs, mode)
+
+  private def writeIndexRowsFromSigs(sigRows: DataFrame, path: String,
+      bands: Int, rowsPerBand: Int, bucketDirs: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
-    val spark = df.sparkSession
-    val sigRows = minhashSigRows(df, idCol, textCol, n, bands * rowsPerBand)
+    val spark = sigRows.sparkSession
     // the sig write runs at full parallelism (a corpus-sized table must
     // never funnel through one task) and IS the materialization of the
     // expensive shingle+min pass: the band rows derive from reading it
     // back, so the pass runs once with no extra checkpoint. On APPEND
     // the read-back would see the whole standing table, so the
     // batch-sized sig relation checkpoints instead — batch-sized state,
-    // the same class as the probe's.
+    // the same class as the probe's (a no-op when the caller already
+    // materialized, as minhashRound does).
     sigRows.write.mode(mode).parquet(sigsPath(path))
     val sigs =
       if (mode == org.apache.spark.sql.SaveMode.Overwrite)
@@ -835,7 +842,7 @@ object Dedup {
       // sf0.1); file-write parallelism is bounded by task count, not
       // bytes, so the cluster-sized default stays right even when the
       // shuffle is tiny.
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket_p"))
       .write.mode(mode).partitionBy("band", "bucket_p")
       .parquet(bandsPath(path))
@@ -853,10 +860,17 @@ object Dedup {
    */
   def minhashProbe(newDocs: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketDirs: Int = 64): DataFrame = {
+      bucketDirs: Int = 64): DataFrame =
+    probeFromSigs(
+      materialize(minhashSigRows(newDocs, idCol, textCol, n, k = bands * rowsPerBand)),
+      path, bands, rowsPerBand, bucketDirs)
+
+  /** [[minhashProbe]] from an already-materialized (doc, sig) batch
+    * table — the seam that lets one signature pass feed probe, append
+    * and the batch-internal pair join (see [[minhashRound]]). */
+  private def probeFromSigs(batchSigs: DataFrame, path: String,
+      bands: Int, rowsPerBand: Int, bucketDirs: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val batchSigs = materialize(
-      minhashSigRows(newDocs, idCol, textCol, n, k))
     // batch band rows CARRY the batch signature (batch-sized — the
     // asymmetry with the corpus side is the point: the corpus band
     // rows are narrow and its signatures arrive by one id-keyed fetch)
@@ -871,7 +885,7 @@ object Dedup {
     val pred = byBand.toSeq.sortBy(_._1).map { case (b, ps) =>
       col("band") === b && col("bucket_p").isin(ps: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val spark = newDocs.sparkSession
+    val spark = batchSigs.sparkSession
     val idxBands = spark.read.parquet(bandsPath(path)).filter(pred)
     // candidate generation touches ONLY the narrow band rows (the
     // pruned scan carries doc + bucket, a few bytes per row); the
@@ -907,6 +921,77 @@ object Dedup {
               element_at(col("b_sig"), i + 1), 1).otherwise(0))
           .reduce(_ + _).cast("double") / k, 6).as("est_jaccard"))
       .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Banded pairs WITHIN a (doc, sig) table — `minhashLshPairs` from
+    * already-computed signature arrays (identical candidates and
+    * estimates: the band hash folds the same seeded components, the
+    * estimator is the same agree-sum). Batch-sized inputs only — both
+    * sides of the band join carry the signature array. */
+  private def minhashPairsFromSigArrays(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, bucketDirs: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded = bandRowsOf(sigs, bands, rowsPerBand, bucketDirs,
+      keepSig = true)
+    banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+      .select(col("id1"), col("id2"),
+        round((0 until k).map(i =>
+            when(element_at(col("a_sig"), i + 1) ===
+              element_at(col("b_sig"), i + 1), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / k, 6).as("est_jaccard"))
+  }
+
+  /**
+   * ONE incremental-dedup arrival against a standing index — the
+   * per-batch round a streaming/daily pipeline runs, with the batch
+   * shingled and signed exactly ONCE (running probe, batch-internal
+   * join and append as separate calls costs three signature passes
+   * over the same text; this is the fused form):
+   *
+   *  1. sign the batch (one pass, materialized batch-sized);
+   *  2. batch↔corpus candidate pairs via the pruned index probe;
+   *  3. batch-internal pairs via the banded self-join on the same
+   *     signatures;
+   *  4. append the batch's signatures into the index (created on the
+   *     first arrival) for the next round.
+   *
+   * Returns the round's emitted near-dup pairs, canonicalized to
+   * (id1 < id2, est_jaccard). Ordering contract: the probe freezes its
+   * view of the index (file listing) at CONSTRUCTION, before the
+   * append lands, so the returned plan never sees the batch's own
+   * rows no matter when the caller executes it. The union over
+   * arrivals of these pair sets EQUALS the one-shot `minhashLshPairs`
+   * over everything ingested — the registry's `stream_dedup_index`
+   * proves that end to end.
+   */
+  def minhashRound(batch: DataFrame, path: String, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketDirs: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val batchSigs = materialize(
+      minhashSigRows(batch, idCol, textCol, n, bands * rowsPerBand))
+    val intra = minhashPairsFromSigArrays(batchSigs, bands, rowsPerBand,
+      bucketDirs)
+    val p = new org.apache.hadoop.fs.Path(bandsPath(path))
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val emitted =
+      if (exists)
+        intra.unionByName(
+          probeFromSigs(batchSigs, path, bands, rowsPerBand, bucketDirs)
+            .select(least(col("new_id"), col("corpus_id")).as("id1"),
+              greatest(col("new_id"), col("corpus_id")).as("id2"),
+              col("est_jaccard")))
+      else intra
+    writeIndexRowsFromSigs(batchSigs, path, bands, rowsPerBand, bucketDirs,
+      if (exists) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite)
+    emitted
   }
 
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

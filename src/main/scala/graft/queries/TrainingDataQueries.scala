@@ -552,18 +552,16 @@ object TrainingDataQueries {
     val priorPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text")
       .filter(col("est_jaccard") >= tau).select(col("id1"), col("id2"))
     val prior = Dedup.connectedComponents(priorPairs, "id1", "id2")
-    // the round: probe + batch-internal candidates + label merge
-    val crossPairs = Dedup.minhashProbe(batch, path, "doc_id", "text")
-      .filter(col("est_jaccard") >= tau)
-      .select(col("new_id").as("id1"), col("corpus_id").as("id2"))
-    val batchPairs = Dedup.minhashLshPairs(batch, "doc_id", "text")
+    // the round: probe + batch-internal candidates + append, all from
+    // ONE signature pass over the batch (Dedup.minhashRound — running
+    // them as separate calls costs three passes over the same text);
+    // pair orientation is irrelevant to the undirected label merge
+    val roundPairs = Dedup.minhashRound(batch, path, "doc_id", "text")
       .filter(col("est_jaccard") >= tau).select(col("id1"), col("id2"))
     val starEdges = prior.select(col("node").as("id1"),
       col("component").as("id2"))
     val merged = Dedup.connectedComponents(
-      starEdges.unionByName(crossPairs).unionByName(batchPairs),
-      "id1", "id2")
-    Dedup.minhashIndexAppend(batch, path, "doc_id", "text")
+      starEdges.unionByName(roundPairs), "id1", "id2")
     // from-scratch reference over the identical candidate graph
     val scratch = Dedup.connectedComponents(
       Dedup.minhashLshPairs(docs, "doc_id", "text")
@@ -619,30 +617,16 @@ object TrainingDataQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$work/arrivals")
     val idx = s"$work/idx"
     val pairsDir = s"$work/pairs"
-    val indexed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.select(col("doc_id"), col("text"))
-        if (!b.isEmpty) {
-          val intra = Dedup.minhashLshPairs(b, "doc_id", "text")
-            .select(col("id1"), col("id2"), col("est_jaccard"))
-          val emitted =
-            if (indexed.get()) {
-              // cross pairs canonicalized to (lo, hi) — the probe's
-              // (new, corpus) orientation is arrival metadata, the
-              // dedup graph is undirected
-              val cross = Dedup.minhashProbe(b, idx, "doc_id", "text")
-                .select(
-                  least(col("new_id"), col("corpus_id")).as("id1"),
-                  greatest(col("new_id"), col("corpus_id")).as("id2"),
-                  col("est_jaccard"))
-              intra.unionByName(cross)
-            } else intra
-          emitted.write.mode("append").parquet(pairsDir)
-          if (indexed.get()) Dedup.minhashIndexAppend(b, idx, "doc_id", "text")
-          else { Dedup.minhashIndexWrite(b, "doc_id", "text", idx)
-                 indexed.set(true) }
-        }
+        // the fused round: ONE signature pass feeds the intra-batch
+        // pair join, the index probe and the append (creating the
+        // index on the first arrival); the probe freezes its index
+        // view before the append lands — Dedup.minhashRound's contract
+        if (!b.isEmpty)
+          Dedup.minhashRound(b, idx, "doc_id", "text")
+            .write.mode("append").parquet(pairsDir)
         ()
       }
       .start()
