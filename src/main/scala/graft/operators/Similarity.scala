@@ -925,20 +925,30 @@ object Similarity {
   }
 
   /**
-   * Materialized ANN index: the banded corpus written PARTITIONED BY
-   * (band, bucket) — the claim "(band, bucket) IS the partition key"
-   * made physical. Each vector appears once per band (bands× storage,
-   * the classic LSH trade); a probe touches only its `bands` buckets'
-   * directories out of bands×2^planesPerBand, so scan I/O drops by
-   * ~2^planesPerBand regardless of corpus size. At 100 TB this is the
-   * difference between an ANN query reading ~6% of the corpus and all
-   * of it.
+   * Materialized ANN index, TWO tables under one root (the narrow-
+   * bands + payload-fetched-once layout the minhash index v2
+   * established — SURVEY §6 r9 has the 16×-payload measurements that
+   * forced it there):
+   *  - `bands/` — (id, band, bucket) longs, PARTITIONED BY
+   *    (band, bucket): the claim "(band, bucket) IS the partition
+   *    key" made physical. A probe touches only its `bands` buckets'
+   *    directories out of bands×2^planesPerBand, and the pruned scan
+   *    carries a few bytes per row — NOT the vector, which the v1
+   *    layout duplicated onto every band row (bands× the corpus
+   *    vector bytes on disk and in every candidate shuffle);
+   *  - `vecs/` — one (id, v, nrm) row per vector, fetched by id
+   *    equi-join once per surviving candidate.
    */
   def annIndexWrite(df: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, bands: Int = 16, planesPerBand: Int = 4,
       extraCols: Seq[String] = Nil): Unit =
     annWriteBanded(df, idCol, vecCol, path, dim, bands, planesPerBand,
       extraCols, org.apache.spark.sql.SaveMode.Overwrite)
+
+  private[operators] def annBandsPath(path: String): String =
+    path.stripSuffix("/") + "/bands"
+  private[operators] def annVecsPath(path: String): String =
+    path.stripSuffix("/") + "/vecs"
 
   /**
    * APPEND a batch of new vectors to a standing banded index — the
@@ -959,19 +969,33 @@ object Similarity {
   private def annWriteBanded(df: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, bands: Int, planesPerBand: Int,
       extraCols: Seq[String], mode: org.apache.spark.sql.SaveMode): Unit = {
-    val coded = withNorm(df, idCol +: extraCols, vecCol)
+    val spark = df.sparkSession
+    val vecRows = withNorm(df, idCol +: extraCols, vecCol)
+      .select((idCol +: extraCols).map(col) ++ Seq(col("v"), col("nrm")): _*)
+    // the vecs write runs at full parallelism and IS the
+    // materialization of the normalize pass: band rows derive from
+    // reading it back (the code is one deterministic projection over
+    // the stored vector, cheap to recompute). On APPEND the read-back
+    // would see the whole standing table, so the batch-sized relation
+    // checkpoints instead — the minhash writeIndexRows contract.
+    vecRows.write.mode(mode).parquet(annVecsPath(path))
+    val back =
+      if (mode == org.apache.spark.sql.SaveMode.Overwrite)
+        spark.read.parquet(annVecsPath(path))
+      else graft.operators.Dedup.materialize(vecRows)
+    back
       .withColumn("code", hyperplaneCode(col("v"), dim, bands * planesPerBand))
-    coded.select(
-        (idCol +: extraCols).map(col) ++ Seq(col("v"), col("nrm"),
-          posexplode(array((0 until bands).map { b =>
-            shiftright(col("code"), b * planesPerBand)
-              .bitwiseAND(lit((1 << planesPerBand) - 1))
-          }: _*)).as(Seq("band", "bucket"))): _*)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("code"), b * planesPerBand)
+            .bitwiseAND(lit((1 << planesPerBand) - 1))
+        }: _*)).as(Seq("band", "bucket")))
       // cluster rows by target directory, count pinned against AQE's
       // small-shuffle coalescing (see minhashIndexWrite)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
-      .write.mode(mode).partitionBy("band", "bucket").parquet(path)
+      .write.mode(mode).partitionBy("band", "bucket")
+      .parquet(annBandsPath(path))
   }
 
   /**
@@ -1000,18 +1024,83 @@ object Similarity {
     }.reduce(_ || _)
     val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
     val qv = array(queryVec.map(lit): _*)
-    val hits = spark.read.parquet(path).filter(pred)
-    // exclude BEFORE ranking — a corpus-resident query vector sits in
-    // its own buckets at cos 1.0 and would eat a top-k slot
+    // the pruned scan reads NARROW band rows; candidate ids dedup
+    // before the vector fetch, so each candidate's payload travels
+    // once. Exclude and tombstone-mask BEFORE ranking — a corpus-
+    // resident query vector sits in its own buckets at cos 1.0 and
+    // would eat a top-k slot.
+    val hits = spark.read.parquet(annBandsPath(path)).filter(pred)
+      .select(col(idCol)).distinct()
     val live = IndexTombstones.mask(
       excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id)),
       idCol, IndexTombstones.siblingPath(path))
     live
+      .join(spark.read.parquet(annVecsPath(path)).hint("shuffle_hash"),
+        Seq(idCol))
       .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
       .select(col(idCol), col("cos"))
-      .distinct()
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * BATCH probe of the banded index — the embedding analogue of
+   * `Dedup.minhashProbe`, and the missing read half of incremental
+   * EMBEDDING dedup: a new batch of vectors dedups against the
+   * standing corpus by coding only itself, collecting its distinct
+   * (band, bucket) pairs (bounded by bands × min(batch, 2^planes) —
+   * model-parameter-sized at any corpus size), pruning the band scan
+   * to those directories with a literal predicate, and equi-joining
+   * the bucket. Candidates dedup NARROW (new_id, corpus_id); both
+   * sides' vectors are fetched by id once per surviving pair; exact
+   * cosine ≥ `threshold` verifies. Because hyperplane codes are pure
+   * seeded functions of the vector, the union of probe results over
+   * arrivals equals the one-shot in-memory banded join over
+   * everything ingested, cross-orientation — the `embed_dedup_index`
+   * registry proof.
+   */
+  def annBatchProbe(batch: DataFrame, path: String, idCol: String,
+      vecCol: String, threshold: Double, dim: Int, bands: Int = 16,
+      planesPerBand: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dotd
+    val spark = batch.sparkSession
+    val p = planesPerBand
+    val maskBits = (1L << p) - 1
+    val bvecs = graft.operators.Dedup.materialize(
+      withNorm(batch, Seq(idCol), vecCol)
+        .select(col(idCol).as("new_id"), col("v"), col("nrm"))
+        .withColumn("code", hyperplaneCode(col("v"), dim, bands * p)))
+    val banded = bvecs.select(col("new_id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("code"), b * p).bitwiseAND(lit(maskBits))
+      }: _*)).as(Seq("band", "bucket")))
+    // sorted literal predicate (plan-text determinism — the
+    // minhashProbe contract)
+    val touched = banded.select(col("band"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val byBand = touched.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val pred = byBand.toSeq.sortBy(_._1).map { case (b, bs) =>
+      col("band") === b && col("bucket").isin(bs: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val idxBands = spark.read.parquet(annBandsPath(path)).filter(pred)
+      .select(col(idCol).as("corpus_id"), col("band"), col("bucket"))
+    val cand = banded
+      .join(idxBands.hint("shuffle_hash"), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val live = IndexTombstones.mask(cand, "corpus_id",
+      IndexTombstones.siblingPath(path))
+    val cvecs = spark.read.parquet(annVecsPath(path))
+      .select(col(idCol).as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    live
+      .join(cvecs.hint("shuffle_hash"), "corpus_id")
+      .join(bvecs.select(col("new_id"), col("v").as("bv"),
+        col("nrm").as("bn")).hint("shuffle_hash"), "new_id")
+      .select(col("new_id"), col("corpus_id"),
+        round(dotd(col("bv"), col("cv")) / (col("bn") * col("cn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   /**
@@ -1031,18 +1120,23 @@ object Similarity {
   def indexDelete(ids: DataFrame, path: String, idCol: String): Unit =
     IndexTombstones.delete(ids, idCol, IndexTombstones.siblingPath(path))
 
-  /** VACUUM a banded-LSH index: drop masked rows into a fresh root
-    * (same pinned cluster-by-directory write shape as build/append so
-    * probe pruning survives) and start an empty tombstone set. The
-    * seeded planes are implicit in (dim, bands, planesPerBand), so
-    * rows rewrite verbatim — no parameter table to carry. */
+  /** VACUUM a banded-LSH index: drop masked rows from both tables
+    * into a fresh root (same pinned cluster-by-directory write shape
+    * as build/append so probe pruning survives) and start an empty
+    * tombstone set. The seeded planes are implicit in
+    * (dim, bands, planesPerBand), so rows rewrite verbatim — no
+    * parameter table to carry. */
   def annIndexVacuum(spark: org.apache.spark.sql.SparkSession,
-      src: String, dest: String, idCol: String): Unit =
-    IndexTombstones.mask(spark.read.parquet(src), idCol,
-        IndexTombstones.siblingPath(src))
+      src: String, dest: String, idCol: String): Unit = {
+    val tp = IndexTombstones.siblingPath(src)
+    IndexTombstones.mask(spark.read.parquet(annVecsPath(src)), idCol, tp)
+      .write.mode("overwrite").parquet(annVecsPath(dest))
+    IndexTombstones.mask(spark.read.parquet(annBandsPath(src)), idCol, tp)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band", "bucket").parquet(dest)
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .parquet(annBandsPath(dest))
+  }
 
   /** VACUUM an IVF index: masked rows drop, the FROZEN centroid table
     * copies verbatim (vacuum is maintenance, not a refit — assignment

@@ -518,6 +518,65 @@ object TrainingDataQueries {
   }
 
   /**
+   * Incremental EMBEDDING dedup against the persisted banded ANN
+   * index — the `minhash_index` contract on the vector side: index
+   * the corpus once, then each arriving batch codes ONLY itself and
+   * probes the index for cross near-dup pairs (`annBatchProbe`:
+   * pruned narrow band scan, candidates dedup before either side's
+   * vectors are fetched, exact cosine verifies). Because hyperplane
+   * codes are pure seeded functions of the vector, the probe must
+   * EQUAL the in-memory banded join over corpus∪batch restricted to
+   * cross pairs — cos values included (an index-machinery-independent
+   * reference). The oracle anchors the flag row to the SQL-exact
+   * cosine≥τ cross-pair count and pins the recall floor of the banded
+   * geometry (the dedup_embedding_lsh bound, on the cross slice).
+   */
+  def embedDedupIndexChecked(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val incoming = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val tau = 0.4
+    val path = graft.Scratch.tempDir("graft_emb_idx") + "/idx"
+    Similarity.annIndexWrite(corpus, "vec_id", "embedding", path, dim = 64)
+    val probed = Similarity.annBatchProbe(incoming, path, "vec_id",
+      "embedding", threshold = tau, dim = 64)
+    val reference = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+        threshold = tau, dim = 64)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2")).as("new_id"),
+        when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1")).as("corpus_id"),
+        col("cos"))
+    val mism = probed.withColumn("in_a", lit(1))
+      .join(reference.withColumn("in_b", lit(1)).hint("shuffle_hash"),
+        Seq("new_id", "corpus_id", "cos"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        count(when(col("in_a").isNull || col("in_b").isNull, 1)).as("n_mism"))
+    val exactCross = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = tau)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(col("id1"), col("id2"))
+    val recall = exactCross
+      .join(probed.select(
+          least(col("new_id"), col("corpus_id")).as("id1"),
+          greatest(col("new_id"), col("corpus_id")).as("id2"))
+          .withColumn("hit", lit(1)).hint("shuffle_hash"),
+        Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_exact_cross"),
+        (count(col("hit")) >= count(lit(1)) * 0.85).as("within_bound"),
+        (count(lit(1)) > 0).as("exact_nonempty"))
+    emb.agg(
+        count(when(col("vec_id") % 10 =!= 0, 1)).as("n_corpus"),
+        count(when(col("vec_id") % 10 === 0, 1)).as("n_batch"))
+      .crossJoin(broadcast(recall))
+      .crossJoin(broadcast(mism))
+      .select(col("n_corpus"), col("n_batch"), col("n_exact_cross"),
+        col("within_bound"),
+        (col("n_mism") === 0).as("probe_equals_reference"),
+        (col("n_union") > 0 && col("exact_nonempty")).as("probes_nonempty"))
+  }
+
+  /**
    * The WHOLE incremental dedup loop, steady-state round N, as one
    * self-checking query — the composition of the three anchors that
    * proved its legs separately (`minhash_index` = probe,
@@ -657,6 +716,7 @@ object TrainingDataQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dedup_index" -> embedDedupIndexChecked _,
     "stream_dedup_index" -> streamDedupIndexChecked _,
     "incr_dedup_loop" -> incrDedupLoopChecked _,
     "pipeline_curate" -> pipelineCurate _,
@@ -1214,6 +1274,21 @@ object TrainingDataQueries {
         |          AND (id1 % 10 = 0) != (id2 % 10 = 0))
         |SELECT count(*) AS n_exact_cross, TRUE AS within_bound,
         | TRUE AS nonempty
+        |FROM prs""".stripMargin,
+    // embed_dedup_index: split counts and the exact cosine cross-pair
+    // count recomputed as hard values; probe ≡ in-memory-reference and
+    // the recall floor are Spark-side checks pinned TRUE
+    "embed_dedup_index" ->
+      """WITH prs AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |   AND (a.vec_id % 10 = 0) != (b.vec_id % 10 = 0))
+        |SELECT
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0) AS n_corpus,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_batch,
+        | count(*) AS n_exact_cross, TRUE AS within_bound,
+        | TRUE AS probe_equals_reference, TRUE AS probes_nonempty
         |FROM prs""".stripMargin,
     // stream_dedup_index: the SQL-exact Jaccard pair count is the hard
     // anchor; stream ≡ one-shot-batch equality and the recall floor

@@ -127,7 +127,7 @@ class AnnIndexDeleteSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(vacd + "_tombstones")),
       "vacuum carried tombstones over")
-    val liveIds = spark.read.parquet(vacd)
+    val liveIds = spark.read.parquet(Similarity.annVecsPath(vacd))
       .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
     assert(liveIds.nonEmpty && liveIds.forall(_ % 10 != 9))
 

@@ -47,13 +47,17 @@ class AnnIndexSpec extends AnyFunSuite {
 
     val rows = probe.collect()
 
-    // 2. files actually opened = only the probed buckets' files.
-    //    The index has bands × 2^planesPerBand directories; the query
-    //    touches `bands` of them, so the scan must read well under the
-    //    total (exactly the per-bucket file count when each bucket is
-    //    one file).
+    // 2. files actually opened on the BAND table = only the probed
+    //    buckets' files. The band table has bands × 2^planesPerBand
+    //    directories; the query touches `bands` of them, so its scan
+    //    must read well under the total (exactly the per-bucket file
+    //    count when each bucket is one file). The flat vecs table is
+    //    id-fetched, not pruned — it carries the payload exactly once
+    //    (the v2 narrow-bands layout; v1 duplicated the vector onto
+    //    every band row, bands× the storage and shuffle bytes).
     val allFiles = {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(indexPath))
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(Similarity.annBandsPath(indexPath)))
       try {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
@@ -71,12 +75,13 @@ class AnnIndexSpec extends AnyFunSuite {
         case other => other.children.flatMap(scans)
       }
     val filesRead = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/bands")))
       .map(_.metrics("numFiles").value).sum
     assert(filesRead > 0, "scan metric missing")
     val bucketDirs = bands * (1 << planesPerBand)
     assert(filesRead <= allFiles.toLong * bands / bucketDirs + bands,
-      s"probe read $filesRead of $allFiles files — not pruned to ~$bands/$bucketDirs of the index")
-    assert(filesRead < allFiles, s"probe read the whole index ($allFiles files)")
+      s"band scan read $filesRead of $allFiles files — not pruned to ~$bands/$bucketDirs of the band table")
+    assert(filesRead < allFiles, s"band scan read the whole band table ($allFiles files)")
 
     // 3. parity with the in-memory banded ANN on the same query
     val expected = Similarity.annLsh(emb, "vec_id", "embedding",
