@@ -802,6 +802,42 @@ object Dedup {
       .parquet(bandsPath(dest))
   }
 
+  /**
+   * Standing-index health report — the numbers the owner's VACUUM and
+   * COMPACTION cadences run on: one row with live/masked document
+   * counts, the masked fraction (compare against your rewrite
+   * threshold before paying [[minhashIndexVacuum]]'s full rewrite),
+   * and the band table's file-layout stats (files, directories,
+   * bytes — the small-file signal `Layout.compactPartitioned`
+   * consumes). Counts are one keyed pass over the (doc)-narrow sig
+   * projection with a tombstone flag join; file stats are driver-side
+   * LISTING metadata — the same listing a probe's planning walks,
+   * bounded by the directory layout plus appended files, never
+   * data-sized.
+   */
+  def minhashIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val sigs = spark.read.parquet(sigsPath(path)).select(col("doc"))
+    val flagged = IndexTombstones.read(spark, tombstonesPath(path)) match {
+      case Some(t) => sigs.join(
+        t.select(col("id").as("doc")).withColumn("dead", lit(1))
+          .hint("shuffle_hash"),
+        Seq("doc"), "left")
+      case None => sigs.withColumn("dead", lit(null).cast("int"))
+    }
+    val files = graft.Scratch.parquetFiles(bandsPath(path))
+    val dirs = files.keySet.map(f =>
+      f.split("/").dropRight(1).mkString("/")).size
+    flagged.agg(count(lit(1)).as("n_docs"),
+        count(col("dead")).as("n_docs_masked"))
+      .select(col("n_docs"), col("n_docs_masked"),
+        round(col("n_docs_masked").cast("double") / col("n_docs"), 6)
+          .as("masked_fraction"),
+        lit(files.size.toLong).as("n_band_files"),
+        lit(dirs.toLong).as("n_band_dirs"),
+        lit(files.values.sum).as("band_bytes"))
+  }
+
   private def writeIndexRows(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int, bands: Int, rowsPerBand: Int, bucketDirs: Int,
       mode: org.apache.spark.sql.SaveMode): Unit =

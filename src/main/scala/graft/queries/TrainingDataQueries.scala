@@ -518,6 +518,29 @@ object TrainingDataQueries {
   }
 
   /**
+   * The index-health OBSERVABILITY leg: build a standing index,
+   * tombstone a slice, and report what the owner's vacuum cadence
+   * reads — live/masked counts and the masked fraction (hard values
+   * the oracle recomputes from the split arithmetic) plus the band
+   * table's file-layout health as flags (file counts depend on the
+   * write parallelism, so they pin as invariants — at least one file
+   * per populated directory, nonzero bytes — not as oracle values).
+   */
+  def minhashIndexStatsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val deleted = docs.filter(col("doc_id") % 10 === 9)
+    val path = graft.Scratch.tempDir("graft_mh_stats") + "/idx"
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
+    Dedup.minhashIndexDelete(deleted.select(col("doc_id")), path, "doc_id")
+    Dedup.minhashIndexStats(spark, path).select(
+      col("n_docs"), col("n_docs_masked"), col("masked_fraction"),
+      (col("n_band_files") >= col("n_band_dirs") && col("n_band_dirs") > 0)
+        .as("band_layout_ok"),
+      (col("band_bytes") > 0).as("band_bytes_positive"))
+  }
+
+  /**
    * Incremental EMBEDDING dedup against the persisted banded ANN
    * index — the `minhash_index` contract on the vector side: index
    * the corpus once, then each arriving batch codes ONLY itself and
@@ -717,6 +740,7 @@ object TrainingDataQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_dedup_index" -> embedDedupIndexChecked _,
+    "minhash_index_stats" -> minhashIndexStatsChecked _,
     "stream_dedup_index" -> streamDedupIndexChecked _,
     "incr_dedup_loop" -> incrDedupLoopChecked _,
     "pipeline_curate" -> pipelineCurate _,
@@ -1275,6 +1299,15 @@ object TrainingDataQueries {
         |SELECT count(*) AS n_exact_cross, TRUE AS within_bound,
         | TRUE AS nonempty
         |FROM prs""".stripMargin,
+    // minhash_index_stats: live/masked counts and the masked fraction
+    // recomputed from the split arithmetic; layout flags pinned TRUE
+    "minhash_index_stats" ->
+      """SELECT count(CASE WHEN doc_id % 10 != 0 THEN 1 END) AS n_docs,
+        | count(CASE WHEN doc_id % 10 = 9 THEN 1 END) AS n_docs_masked,
+        | round(count(CASE WHEN doc_id % 10 = 9 THEN 1 END) * 1.0 /
+        |   count(CASE WHEN doc_id % 10 != 0 THEN 1 END), 6) AS masked_fraction,
+        | TRUE AS band_layout_ok, TRUE AS band_bytes_positive
+        |FROM documents""".stripMargin,
     // embed_dedup_index: split counts and the exact cosine cross-pair
     // count recomputed as hard values; probe ≡ in-memory-reference and
     // the recall floor are Spark-side checks pinned TRUE
