@@ -276,7 +276,12 @@ object Dedup {
         "posexplode(transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS block)))")
       .select(col("doc"), col("sig"),
         col("col.band").as("band"), col("col.block").as("block"))
-    banded.as("a").join(banded.as("b"),
+    // shuffle-hash-pinned, b side builds: both sides are the same
+    // checkpointed stage output, whose reported size differs in-memory
+    // vs spilled — under sf1 memory pressure AQE's build-side choice
+    // flipped run-to-run (the pipeline_curate class, caught by the
+    // sweep's fingerprint compare)
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.block") === col("b.block") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
@@ -288,7 +293,10 @@ object Dedup {
 
   /** All-pairs hamming over an existing signature table (caller gates). */
   private def simhashBruteFrom(sigs: DataFrame, maxHamming: Int): DataFrame =
-    sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
+    // broadcast-pinned build side: the non-equi pair join is a nested
+    // loop either way (guard-sized input); pinning stops AQE's
+    // build-side coin flip on the checkpointed sigs
+    sigs.as("a").join(sigs.as("b").hint("broadcast"), col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

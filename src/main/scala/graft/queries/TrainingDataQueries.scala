@@ -160,8 +160,11 @@ object TrainingDataQueries {
       .agg(max(col("x")).as("x"), max(col("b")).as("b"))
     val folded = perPair.agg(sum(col("x")).as("nx"), sum(col("b")).as("nb"),
       sum(col("x") * col("b")).as("ni"))
+    // broadcast-pinned: an unhinted 1-row × 1-row cross join lets AQE
+    // pick the build side by stage-arrival order — flipped run-to-run
+    // under sf1 sweep memory pressure (the pipeline_curate class)
     Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(folded)
+      .crossJoin(broadcast(folded))
       .select(col("n_docs"),
         coalesce(col("nx") === col("nb") && col("ni") === col("nx"),
           lit(true)).as("sets_equal"),
