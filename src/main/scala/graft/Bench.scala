@@ -142,7 +142,7 @@ object Bench {
         // leaving df's own plan un-finalized)
         val counted = consumed(fn(spark, sfDir))
         counted.collect()
-        (None, Some(planFingerprint(counted)))
+        (None, Some(normalizedPlan(counted)))
       } catch {
         case t: Throwable =>
           (Some((t.getClass.getSimpleName + ": " +
@@ -165,9 +165,26 @@ object Bench {
       val spreadPct =
         if (best > 0) (attempts.map(_._1).max - best) / best * 100 else 0.0
       val err = attempts.flatMap(_._2).headOption
-      val fps = attempts.flatMap(_._3).distinct
+      val planTexts = attempts.flatMap(_._3).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def fpOf(t: String): String =
+        md.digest(t.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      val fps = planTexts.map(fpOf)
       // >1 distinct fingerprint across same-JVM runs = AQE plan flip;
-      // surfaced as "fp1|fp2" so a timing swing can be attributed
+      // surfaced as "fp1|fp2" so a timing swing can be attributed —
+      // and each distinct plan TEXT is dumped so the flip can be
+      // DIAGNOSED from the artifact (a flip that only reproduces
+      // under full-sweep memory pressure is otherwise uncatchable:
+      // this round's dedup_simhash flip was stable through 4-run
+      // standalone benches and 4-run FpProbe)
+      if (fps.size > 1) {
+        val dumpDir = java.nio.file.Paths.get("target/flipdump")
+        java.nio.file.Files.createDirectories(dumpDir)
+        planTexts.foreach { t =>
+          java.nio.file.Files.writeString(
+            dumpDir.resolve(s"${name}_${fpOf(t)}.txt"), t)
+        }
+      }
       name -> (best, err, fps.mkString("|"), spreadPct)
     }
     val qs = results.map { case (k, (t, err, _, _)) =>

@@ -341,11 +341,15 @@ object EtlQueries {
    * and the oracle expressible (unrolled CTEs).
    */
   def graphPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct().localCheckpoint()
+    // Conf-gated like every other multi-consumer materialization:
+    // `spark.graft.materialize=none` keeps the lineage (fully
+    // fault-tolerant recompute per consumer) for cluster deployments.
+    val edges = graft.operators.Dedup.materialize(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct())
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
