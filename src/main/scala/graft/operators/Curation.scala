@@ -328,6 +328,72 @@ object Curation {
   }
 
   /**
+   * Per-source document cap — keep at most `cap` documents per source,
+   * ranked by a quality column (FineWeb/RefinedWeb-style domain caps:
+   * no single domain may contribute more than a bounded slice of the
+   * corpus, and within the budget the best documents win). Ties break
+   * on id so the cut is deterministic.
+   *
+   * Scale shape: a rank-limit filter directly over the window lets
+   * Spark plan a WindowGroupLimit — each map task keeps only its
+   * per-source top-`cap` BEFORE the shuffle, so the exchange carries
+   * O(sources·cap) rows, not the corpus. That partial top-N is the
+   * whole point at 100 TB: a web snapshot has ~10⁷ domains and a cap
+   * of tens, so the post-limit relation is ~10⁸ rows regardless of
+   * corpus size.
+   */
+  def sourceCap(df: DataFrame, idCol: String, strataCol: String,
+      qualityCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.select(col(strataCol), col(idCol), col(qualityCol),
+        row_number().over(w).cast("long").as("q_rank"))
+      .filter(col("q_rank") <= cap)
+      .orderBy(col(strataCol), col(idCol))
+  }
+
+  /**
+   * Deterministic seeded global shuffle + token-budget shard
+   * assignment — the training-order export step: documents are laid
+   * end-to-end in a pseudo-random but reproducible order (md5 of
+   * seed|id — any engine agrees on it, re-runs agree with themselves),
+   * and each doc is assigned to the shard whose token budget its
+   * first token lands in. Downstream trainers read shard k as one
+   * contiguous token range.
+   *
+   * Scale shape: the shuffle order is a pure column function (no
+   * sampled RNG state), and the global exclusive prefix sum over that
+   * order is the [[sequencePack]] RangeSlice pattern — slice ids from
+   * driver-sampled literal bounds on the ORDER KEY, per-slice totals
+   * cumulated and broadcast back, slice-local running sums on top. No
+   * single-partition sort, no pinned partition ids, recompute-safe.
+   */
+  def shuffleShards(df: DataFrame, idCol: String, tokCol: String,
+      shardTokens: Long, seed: String = "s42"): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base0 = df.select(col(idCol),
+      md5(concat(lit(seed + "|"), col(idCol).cast("string"))).as("ok"),
+      col(tokCol).cast("long").as("n_tokens"))
+    val base = RangeSlice.withSliceId(base0, Seq(col("ok"), col(idCol)),
+      parts, "sid")
+    val wOff = Window.orderBy(col("sid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("sid")).agg(sum(col("n_tokens")).as("toks"))
+      .withColumn("off", coalesce(sum(col("toks")).over(wOff), lit(0L)))
+      .select(col("sid"), col("off"))
+    val wLocal = Window.partitionBy(col("sid")).orderBy(col("ok"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "sid")
+      .withColumn("token_start",
+        col("off") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("token_start"),
+        expr(s"token_start div ${shardTokens}L").as("shard_id"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * PSI drift monitor — population stability index between a
    * reference corpus snapshot and the current one, per feature
    * bucket: the standard "did yesterday's distribution shift?" alarm

@@ -214,6 +214,65 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
 
   /**
+   * Centroid-approximation silhouette — the standard "are these
+   * clusters real?" screen over a labeled embedding table, with the
+   * O(n²) pairwise terms replaced by distances to label centroids
+   * (the simplified silhouette of Hruschka et al.; exact silhouette
+   * is quadratic and never runs at corpus scale): per point,
+   * a = cosine distance to its own label's centroid, b = the nearest
+   * OTHER centroid's distance, s = (b − a)/max(a, b). Output is one
+   * row per label: member count and mean silhouette — near 1 means
+   * tight/separated, near 0 means overlapping labels.
+   *
+   * Scale shape: centroids are label-count-sized model parameters —
+   * they aggregate in one keyed pass ([[labelCentroids]]) and re-enter
+   * the plan as literal arrays, so scoring is a single scan with k
+   * codegen'd dot products per row, no join, no second shuffle. The
+   * collect is k·dim doubles, never data-sized. Determinism: the
+   * centroid means are rounded (6 dp) before re-entering, per-point
+   * cosines round at 6 (the cross-engine contract every cosine in
+   * this registry uses), and the final means round at 4 to absorb
+   * sum-order ulps.
+   */
+  def centroidSilhouette(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // label-count-sized model parameters (same class as ivfProbe's
+    // centroid load): (label, dim) -> rounded mean
+    val cents = labelCentroids(df, labelCol, vecCol).collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy(_._2).map(_._3)
+      }.toSeq.sortBy(_._1)
+    require(cents.size >= 2, "silhouette needs at least two labels")
+    def cnrm(c: Array[Double]): Double = math.sqrt(c.map(x => x * x).sum)
+    val scored = df.select(col(labelCol).as("label"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotd(col("v"), col("v"))))
+    // one rounded cosine-distance column per centroid, codegen'd
+    val dists = cents.map { case (l, c) =>
+      l -> (lit(1.0) - round(
+        dotd(col("v"), array(c.map(lit): _*)) / (col("nrm") * lit(cnrm(c))),
+        6))
+    }
+    val aCol = dists.foldLeft(lit(null).cast("double")) { case (acc, (l, d)) =>
+      when(col("label") === l, d).otherwise(acc)
+    }
+    val bCol = least(dists.map { case (l, d) =>
+      when(col("label") === l, lit(null).cast("double")).otherwise(d)
+    }: _*)
+    scored
+      .withColumn("a", aCol).withColumn("b", bCol)
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("s")), 4).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  /**
    * nPlanes-bit random-hyperplane code: bit p = sign(v · plane_p).
    * Planes are pseudo-random but deterministic (seeded), generated
    * driver-side — model parameters, not data. Computed by the native

@@ -394,6 +394,48 @@ object EtlQueries {
       .orderBy(col("node"))
   }
 
+  /**
+   * Synchronous label propagation (LPA, Raghavan et al. 2007) over the
+   * interaction graph — community detection by the dynamics real
+   * pipelines run between CC (pure reachability) and modularity
+   * methods: each round, every node adopts the most frequent label
+   * among its neighbors, ties broken to the smallest label. A FIXED
+   * round count (3) with synchronous updates keeps the result
+   * deterministic and the oracle expressible (unrolled CTEs);
+   * convergence detection would make output depend on scheduling.
+   *
+   * Scale shape: a round is one keyed join (labels onto edge
+   * endpoints) + one (node,label) count + one per-node argmax window —
+   * all shuffles on node keys, label relation is node-sized, the
+   * window partitions by node (bounded by degree, never global). The
+   * node-sized joins are shuffle-hash-pinned for the same AQE
+   * build-side determinism reason as graphPageRank.
+   */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.materialize(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct())
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val rounds = 3
+    for (_ <- 1 to rounds) {
+      val cnt = und
+        .join(labels.withColumnRenamed("node", "b").hint("shuffle_hash"), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label"))
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+    }
+    labels.orderBy(col("node"))
+  }
+
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
@@ -526,6 +568,7 @@ object EtlQueries {
       graft.operators.KCore.kCorePeel(edges, "src", "dst", k = 16,
         maxRounds = 12)
     }),
+    "graph_lpa" -> graphLpa _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
     "account_flags" -> accountFlags _,
@@ -669,6 +712,25 @@ object EtlQueries {
         s" UNION ALL SELECT node, 0 AS r FROM a$rounds"
       head + "\n" + iters + "\n" +
         s"SELECT node, CAST(r AS INTEGER) AS peeled_round FROM ($unioned) ORDER BY node"
+    },
+    // graph_lpa: the synchronous rounds unrolled — each round is a
+    // (node, neighbor-label) count CTE plus a per-node argmax QUALIFY
+    // with the same (count DESC, label ASC) tie-break as the Spark loop
+    "graph_lpa" -> {
+      val rounds = 3
+      val head =
+        """WITH e AS MATERIALIZED (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+      val iters = (1 to rounds).map { i =>
+        s"""c$i AS (SELECT u.a AS node, l.label, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, label FROM c$i
+           |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + iters + "\n" +
+        s"SELECT node, label FROM l$rounds ORDER BY node"
     },
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst

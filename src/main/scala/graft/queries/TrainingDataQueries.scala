@@ -900,7 +900,20 @@ object TrainingDataQueries {
       Curation.qualityStratified(
         docs.select(col("doc_id"), col("source")).join(q, "doc_id"),
         "doc_id", "source", "quality")
-    }))
+    }),
+    "source_cap" -> ((s, d) =>
+      Curation.sourceCap(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", "n_chars", cap = 25)),
+    "train_shards" -> ((s, d) =>
+      Curation.shuffleShards(
+        TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens")),
+        "doc_id", "ws_tokens", shardTokens = 2048L)),
+    "cluster_silhouette" -> ((s, d) =>
+      Similarity.centroidSilhouette(Tables.embeddings(s, d), "label",
+        "embedding")))
 
   private val fullCcOracleSql: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
@@ -1709,5 +1722,48 @@ object TrainingDataQueries {
         |g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS canonical_id
         |      FROM fps GROUP BY 1)
         |SELECT doc_id, fp, group_size, doc_id = canonical_id AS is_canonical
-        |FROM fps JOIN g USING (fp) ORDER BY doc_id""".stripMargin)
+        |FROM fps JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
+    "source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS q_rank
+        | FROM documents)
+        |SELECT source, doc_id, n_chars, CAST(q_rank AS BIGINT) AS q_rank
+        |FROM r WHERE q_rank <= 25 ORDER BY source, doc_id""".stripMargin,
+    // train_shards: the seeded order key and the exclusive prefix sum
+    // are both engine-agnostic (md5 hex + integer window sum), so the
+    // whole shard assignment is exact in SQL
+    "train_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |  md5('s42|' || doc_id) AS ok FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY ok, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, token_start,
+        | token_start // 2048 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // cluster_silhouette: centroids re-derived exactly (the
+    // embedding_centroids aggregate), distances via the same rounded
+    // list_cosine_similarity contract as every cosine in this registry
+    "cluster_silhouette" ->
+      """WITH cent AS (SELECT label, i AS dim,
+        |  round(avg(embedding[i + 1]::DOUBLE), 6) AS mean
+        | FROM embeddings, unnest(range(len(embedding))) t(i) GROUP BY 1, 2),
+        |cvec AS (SELECT label AS clabel, list(mean ORDER BY dim) AS cv
+        |         FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |   1 - round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS dist
+        | FROM embeddings e CROSS JOIN cvec c),
+        |ab AS (SELECT vec_id, label,
+        |   min(CASE WHEN label = clabel THEN dist END) AS a,
+        |   min(CASE WHEN label <> clabel THEN dist END) AS b
+        | FROM d GROUP BY 1, 2),
+        |s AS (SELECT label,
+        |   CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |        ELSE (b - a) / greatest(a, b) END AS s
+        | FROM ab)
+        |SELECT label, count(*) AS n_members, round(avg(s), 4) AS mean_silhouette
+        |FROM s GROUP BY label ORDER BY label""".stripMargin)
 }

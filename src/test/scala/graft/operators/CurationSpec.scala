@@ -150,6 +150,50 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 100000L)
   }
 
+  test("sourceCap keeps exactly the top-cap docs per source by quality") {
+    val df = (0L until 40L).map(i =>
+      (i, s"src${i % 4}", (i * 13 % 7).toInt)).toDF("id", "src", "q")
+    val got = Curation.sourceCap(df, "id", "src", "q", cap = 3).collect()
+    assert(got.length == 12) // 4 sources x cap 3
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // the kept rows ARE the per-source top-3 by (q desc, id asc)
+      val want = (0L until 40L).filter(i => s"src${i % 4}" == src)
+        .sortBy(i => (-(i * 13 % 7), i)).take(3).toSet
+      assert(rows.map(_.getLong(1)).toSet == want)
+    }
+  }
+
+  test("sourceCap plans a WindowGroupLimit (partial top-N before the shuffle)") {
+    val df = (0L until 40L).map(i =>
+      (i, s"src${i % 4}", (i * 13 % 7).toInt)).toDF("id", "src", "q")
+    val plan = Curation.sourceCap(df, "id", "src", "q", cap = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("shuffleShards: shard boundaries follow the seeded-order prefix sum") {
+    val df = (0L until 50L).map(i => (i, 10L + i % 5)).toDF("id", "toks")
+    val got = Curation.shuffleShards(df, "id", "toks", shardTokens = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 50)
+    // reference: the same md5-seeded order and running sum, locally
+    val order = (0L until 50L).sortBy { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"s42|$i".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    var cum = 0L
+    val want = order.map { i =>
+      val t = 10L + i % 5
+      val row = (i, t, cum, cum / 64L)
+      cum += t
+      row
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == want)
+    // totals conserve: last shard start + its tokens == corpus total
+    assert(cum == got.map(_._2).sum)
+  }
+
   test("dsir weights are deterministic and integer-exact across reruns") {
     val df = (0L until 60L).map(i =>
       (i, (0 to 6).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "),

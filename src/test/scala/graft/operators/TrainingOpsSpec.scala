@@ -108,4 +108,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect()
     assert(got.toSeq == again.toSeq)
   }
+
+  test("centroidSilhouette: tight separated clusters ~1, mixed labels ~0") {
+    // label 0 hugs e1, label 1 hugs e2 — near-orthogonal, tight
+    val tight = (0L until 10L).map { i =>
+      (i, (i % 2).toInt,
+        if (i % 2 == 0) Array(1.0f, 0.01f * (i % 3).toFloat, 0f, 0f)
+        else Array(0.01f * (i % 3).toFloat, 1.0f, 0f, 0f))
+    }.toDF("vec_id", "label", "embedding")
+    val ts = Similarity.centroidSilhouette(tight, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(ts.keySet == Set(0, 1))
+    assert(ts.values.forall(_ > 0.9), s"expected tight clusters, got $ts")
+    // identical point clouds under two labels → centroids coincide,
+    // a == b per point → silhouette 0
+    val mixed = (0L until 10L).map { i =>
+      (i, (i % 2).toInt, Array(1.0f, (i / 2 % 3).toFloat, 0f, 0f))
+    }.toDF("vec_id", "label", "embedding")
+    val ms = Similarity.centroidSilhouette(mixed, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(ms.values.forall(v => math.abs(v) < 0.05), s"expected ~0, got $ms")
+    // reruns identical (centroid collect re-derives the same literals)
+    val again = Similarity.centroidSilhouette(tight, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(ts == again)
+  }
 }
