@@ -328,6 +328,43 @@ object Curation {
   }
 
   /**
+   * Contamination REPORT — the eval-side view [[decontaminate]] is
+   * missing: per BENCHMARK document, how many training docs share an
+   * n-gram with it and how much of it is covered. decontaminate
+   * answers "which training docs do I drop"; this answers "which eval
+   * items are compromised and how badly" — the report a benchmark
+   * owner files before trusting a score, and the evidence for
+   * tightening n when a whole eval split lights up.
+   *
+   * Scale shape: the eval shingle relation is benchmark-sized —
+   * BROADCAST to the training scan (same argument as decontaminate, in
+   * the opposite join direction), so the corpus never shuffles its
+   * shingles; the per-(eval doc) distinct counts aggregate the
+   * join output, which is hit-sized, not corpus-sized.
+   *
+   * @return one row per eval doc: id, n_hit_train_docs (distinct
+   *         training docs sharing ≥1 n-gram), n_shared_grams (its own
+   *         distinct n-grams seen anywhere in training), contaminated
+   */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val evalSh = Dedup.shingleHashes(eval, idCol, textCol, n)
+      .select(col("doc").as("eval_id"), col("s"))
+    val hits = Dedup.shingleHashes(train, idCol, textCol, n)
+      .join(broadcast(evalSh), "s")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc")).as("n_hit_train_docs"),
+        countDistinct(col("s")).as("n_shared_grams"))
+    eval.select(col(idCol).as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_hit_train_docs"), lit(0L)).as("n_hit_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+      .orderBy(col("eval_id"))
+  }
+
+  /**
    * Per-source document cap — keep at most `cap` documents per source,
    * ranked by a quality column (FineWeb/RefinedWeb-style domain caps:
    * no single domain may contribute more than a bounded slice of the

@@ -901,6 +901,13 @@ object TrainingDataQueries {
         docs.select(col("doc_id"), col("source")).join(q, "doc_id"),
         "doc_id", "source", "quality")
     }),
+    "contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    }),
     "source_cap" -> ((s, d) =>
       Curation.sourceCap(
         Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -1723,6 +1730,26 @@ object TrainingDataQueries {
         |      FROM fps GROUP BY 1)
         |SELECT doc_id, fp, group_size, doc_id = canonical_id AS is_canonical
         |FROM fps JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
+    // contamination_report: same shingle CTE as decontaminate_bloom,
+    // aggregated per EVAL doc — xxhash64 shingles collide with odds
+    // ~n²/2⁶⁴ so the string-shingle recomputation matches exactly
+    "contamination_report" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS doc,
+        |         array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |hits AS (SELECT e.doc AS eval_id,
+        |           count(DISTINCT t.doc) AS n_hit_train_docs,
+        |           count(DISTINCT e.s) AS n_shared_grams
+        |         FROM sh e JOIN sh t ON e.s = t.s
+        |         WHERE e.doc % 20 = 0 AND t.doc % 20 <> 0 GROUP BY 1)
+        |SELECT d.doc_id AS eval_id,
+        | coalesce(h.n_hit_train_docs, 0) AS n_hit_train_docs,
+        | coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+        | coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
+        |WHERE d.doc_id % 20 = 0 ORDER BY 1""".stripMargin,
     "source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY source

@@ -150,6 +150,23 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 100000L)
   }
 
+  test("contaminationReport counts hit train docs and covered grams per eval doc") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "nothing here overlaps with training text")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares both of eval 100's 5-grams
+      (1L, "xx alpha beta gamma delta epsilon zeta yy"),
+      // shares only the first 5-gram
+      (2L, "alpha beta gamma delta epsilon STOP"),
+      (3L, "fully disjoint vocabulary entirely")).toDF("doc_id", "text")
+    val got = Curation.contaminationReport(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // eval 100 has 2 shingles; both seen in training; docs 1 and 2 hit
+    assert(got.toSeq == Seq((100L, 2L, 2L, true), (200L, 0L, 0L, false)))
+  }
+
   test("sourceCap keeps exactly the top-cap docs per source by quality") {
     val df = (0L until 40L).map(i =>
       (i, s"src${i % 4}", (i * 13 % 7).toInt)).toDF("id", "src", "q")
