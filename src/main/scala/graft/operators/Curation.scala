@@ -350,13 +350,26 @@ object Curation {
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val evalSh = Dedup.shingleHashes(eval, idCol, textCol, n)
       .select(col("doc").as("eval_id"), col("s"))
-    val hits = Dedup.shingleHashes(train, idCol, textCol, n)
-      .join(broadcast(evalSh), "s")
-      .groupBy(col("eval_id"))
-      .agg(countDistinct(col("doc")).as("n_hit_train_docs"),
-        countDistinct(col("s")).as("n_shared_grams"))
+    // hit-sized (bounded by shared shingles), read by both distinct
+    // counts below — materialized so the corpus-side scan runs once.
+    // The two counts are SEPARATE single-distinct aggregates, not one
+    // two-countDistinct agg: Spark's RewriteDistinctAggregates expands
+    // multiple distinct groups in nondeterministic enumeration order
+    // (run-to-run plan flip, caught by PlanFingerprintSpec's
+    // same-JVM double run).
+    val hits = Dedup.materialize(
+      Dedup.shingleHashes(train, idCol, textCol, n)
+        .join(broadcast(evalSh), "s")
+        .select(col("eval_id"), col("doc"), col("s")))
+    val hitDocs = hits.select(col("eval_id"), col("doc")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit_train_docs"))
+    val hitGrams = hits.select(col("eval_id"), col("s")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_shared_grams"))
+    // eval-id-sized joins on both sides: shuffle-hash-pinned so AQE
+    // can't race the build-side choice (the dedup_components class)
     eval.select(col(idCol).as("eval_id"))
-      .join(hits, Seq("eval_id"), "left")
+      .join(hitDocs.hint("shuffle_hash"), Seq("eval_id"), "left")
+      .join(hitGrams.hint("shuffle_hash"), Seq("eval_id"), "left")
       .select(col("eval_id"),
         coalesce(col("n_hit_train_docs"), lit(0L)).as("n_hit_train_docs"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))

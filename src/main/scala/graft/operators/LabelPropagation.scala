@@ -40,6 +40,13 @@ object LabelPropagation {
    *         label = the node id itself
    */
   def lpa(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame =
+    lpaLabels(edges, srcCol, dstCol, rounds).orderBy(col("node"))
+
+  /** [[lpa]] without the presentation sort — the form downstream
+    * consumers (modularity scoring) compose with, so no global sort
+    * executes mid-plan just to be discarded by the next shuffle. */
+  def lpaLabels(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -56,6 +63,6 @@ object LabelPropagation {
       labels = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("node"), col("label"))
     }
-    labels.orderBy(col("node"))
+    labels
   }
 }

@@ -282,6 +282,45 @@ object Tokenizer {
   }
 
   /**
+   * Per-language tokenizer fertility report — the number a tokenizer
+   * team reads before shipping a vocab ("de fragments 1.9 tokens/word,
+   * zh 3.2 — grow the zh merges"): per language, doc/word/char totals
+   * and the learned-BPE token mass, with fertility's SQL-unreachable
+   * part carried as invariant flags (the bpeEncodeChecked contract,
+   * aggregated per language): per-lang token total bounded by
+   * [words, chars] (merges only shrink, every word ≥1 token) and the
+   * corpus total equal to the fit log's accounting EXACTLY.
+   *
+   * Scale shape: the corpus collapses through the same encode join as
+   * [[bpeEncode]] (vocab-sized relation joined onto exploded words),
+   * then one lang-keyed aggregate — language count rows out.
+   */
+  def bpeFertilityChecked(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, nMerges: Int = 8): DataFrame = {
+    val base = vocabBase(df, textCol)
+    val (log, finalState) = fitOn(base, nMerges)
+    val enc = encodeOn(df, idCol, textCol, finalState, log)
+    val lang = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    // lang-count-sized, consumed twice (the corpus total and the
+    // output rows) — materialized so the corpus-wide encode join runs
+    // once, not once per consumer
+    val per = Dedup.materialize(enc.join(lang.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_char_tokens")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("bpe_total")))
+    val fitTotal = if (log.isEmpty) tokenTotal(base) else log.last.tokensAfter
+    val total = per.agg(sum(col("bpe_total")).as("enc_total"))
+    per.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        (col("bpe_total") >= col("n_words") &&
+          col("bpe_total") <= col("n_chars")).as("fertility_bounded"),
+        (col("enc_total") === fitTotal).as("totals_consistent"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Oracle-assertable summary: the SQL-recomputable facts (round-1
    * argmax pair and frequency, the initial token total) as values,
    * and the un-SQL-able rounds ≥2 as invariant flags — frequencies

@@ -436,6 +436,57 @@ object EtlQueries {
     labels.orderBy(col("node"))
   }
 
+  /**
+   * Newman modularity of the [[graphLpa]] labeling — the "are these
+   * communities better than chance?" score that turns LPA's output
+   * into a defensible claim: Q = Σ_c [m_c/m − (d_c/2m)²], internal
+   * edge fraction minus the random-graph expectation at the same
+   * degree sequence. One row: community count, edge count, Q.
+   *
+   * Scale shape: labels join onto both edge endpoints (node-keyed,
+   * shuffle-hash-pinned), then everything collapses to
+   * community-count-sized relations (internal-edge counts, degree
+   * sums) and a single-row aggregate; m rides along as a broadcast
+   * 1-row relation. Determinism: per-community terms are IEEE-exact
+   * from integer counts (explicit x·x, no pow); only the final
+   * community sum is order-sensitive, absorbed by round 6.
+   */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.materialize(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct())
+    // node-sized, consumed three times (both endpoint joins + the
+    // degree sum) — materialized so the 3-round LPA loop runs once,
+    // not once per consumer; conf-gated like every multi-consumer
+    // materialization
+    val lab = graft.operators.Dedup.materialize(
+      graft.operators.LabelPropagation
+        .lpaLabels(edges, "src", "dst", rounds = 3))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val internal = edges
+      .join(lab.withColumnRenamed("node", "src")
+        .withColumnRenamed("label", "l1").hint("shuffle_hash"), "src")
+      .join(lab.withColumnRenamed("node", "dst")
+        .withColumnRenamed("label", "l2").hint("shuffle_hash"), "dst")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("label")).agg(count(lit(1)).as("mc"))
+    val deg = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val dsum = deg.join(lab.hint("shuffle_hash"), "node")
+      .groupBy(col("label")).agg(sum(col("dg")).as("dc"))
+    val ratio = col("dc").cast("double") / (col("m") * 2)
+    dsum.join(internal.hint("shuffle_hash"), Seq("label"), "left")
+      .select(col("label"), coalesce(col("mc"), lit(0L)).as("mc"), col("dc"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"), min(col("m")).as("m_edges"),
+        round(sum(col("mc").cast("double") / col("m") - ratio * ratio), 6)
+          .as("modularity"))
+  }
+
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
@@ -569,10 +620,28 @@ object EtlQueries {
         maxRounds = 12)
     }),
     "graph_lpa" -> graphLpa _,
+    "graph_modularity" -> graphModularity _,
     "json_extract" -> jsonExtract _,
     "instr_flatten" -> instrFlatten _,
     "account_flags" -> accountFlags _,
     "error_split" -> errorSplit _)
+
+  // shared CTE prefix of the graph_lpa / graph_modularity oracles: the
+  // synchronous LPA rounds unrolled
+  private def lpaOracleCtes(rounds: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT u.a AS node, l.label, count(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, label FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + iters
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_table_diff" ->
@@ -716,22 +785,26 @@ object EtlQueries {
     // graph_lpa: the synchronous rounds unrolled — each round is a
     // (node, neighbor-label) count CTE plus a per-node argmax QUALIFY
     // with the same (count DESC, label ASC) tie-break as the Spark loop
-    "graph_lpa" -> {
-      val rounds = 3
-      val head =
-        """WITH e AS MATERIALIZED (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
-          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
-          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
-      val iters = (1 to rounds).map { i =>
-        s"""c$i AS (SELECT u.a AS node, l.label, count(*) AS c
-           |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
-           |l$i AS MATERIALIZED (SELECT node, label FROM c$i
-           |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1)""".stripMargin
-      }.mkString(",\n")
-      head + ",\n" + iters + "\n" +
-        s"SELECT node, label FROM l$rounds ORDER BY node"
-    },
+    "graph_lpa" ->
+      (lpaOracleCtes(3) + "\nSELECT node, label FROM l3 ORDER BY node"),
+    // graph_modularity: the same unrolled labeling, folded to
+    // Q = Σ_c [mc/m − (dc/2m)²] with the identical explicit x·x form
+    "graph_modularity" -> (lpaOracleCtes(3) +
+      """,
+        |deg AS (SELECT a AS node, count(*) AS dg FROM und GROUP BY 1),
+        |dsum AS (SELECT l.label, CAST(sum(d.dg) AS BIGINT) AS dc
+        |         FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1),
+        |internal AS (SELECT l1.label, count(*) AS mc
+        |             FROM e JOIN l3 l1 ON e.src = l1.node
+        |             JOIN l3 l2 ON e.dst = l2.node
+        |             WHERE l1.label = l2.label GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |per AS (SELECT s.label, coalesce(i.mc, 0) AS mc, s.dc
+        |        FROM dsum s LEFT JOIN internal i USING (label))
+        |SELECT count(*) AS n_communities, min(m) AS m_edges,
+        | round(sum(mc * 1.0 / m
+        |   - (dc * 1.0 / (2 * m)) * (dc * 1.0 / (2 * m))), 6) AS modularity
+        |FROM per CROSS JOIN mm""".stripMargin),
     "graph_pagerank" ->
       """WITH edges AS (SELECT DISTINCT 'c'||o_custkey AS src, 's'||l_suppkey AS dst
         |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -76,6 +76,24 @@ object TrainingDataQueries {
   }
 
   /**
+   * Near-dup cluster census — the observability leg over
+   * [[dedupComponents]]: per component size, how many clusters, how
+   * many docs they hold, and how many a keep-one-per-cluster policy
+   * drops. The number a curation run reports ("12% of the corpus sat
+   * in near-dup clusters; the largest had 40 members") before anyone
+   * trusts the dedup stage. Scale shape: one keyed aggregate over the
+   * labeling (size-count-sized output); the labeling itself is the
+   * dedup_components plan unchanged.
+   */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy(col("comp_size"))
+      .agg(countDistinct(col("component")).as("n_components"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - col("n_components"))
+      .orderBy(col("comp_size"))
+
+  /**
    * Semantic dedup end-to-end: embedding-cosine near-dup pairs →
    * connected components → every vector labeled with its semantic
    * cluster (min vec_id) and whether it is the cluster's canonical
@@ -776,6 +794,9 @@ object TrainingDataQueries {
     "bpe_encode" -> ((s, d) =>
       Tokenizer.bpeEncodeChecked(Tables.documents(s, d), "doc_id", "text",
         nMerges = 8)),
+    "bpe_fertility" -> ((s, d) =>
+      Tokenizer.bpeFertilityChecked(Tables.documents(s, d), "doc_id", "text",
+        "lang", nMerges = 8)),
     "quality_classify" -> ((s, d) =>
       graft.operators.QualityModel.classifyChecked(s, d)),
     "corpus_mix" -> ((s, d) =>
@@ -786,6 +807,7 @@ object TrainingDataQueries {
         col("lang") === "en")),
     "corpus_curate" -> corpusCurate _,
     "dedup_components" -> dedupComponents _,
+    "dedup_cluster_stats" -> dedupClusterStats _,
     "dedup_semantic" -> semanticDedup _,
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -922,7 +944,7 @@ object TrainingDataQueries {
       Similarity.centroidSilhouette(Tables.embeddings(s, d), "label",
         "embedding")))
 
-  private val fullCcOracleSql: String =
+  private val ccOracleCtes: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id AS doc,
@@ -945,9 +967,18 @@ object TrainingDataQueries {
         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
         |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-        |szs AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)
-        |SELECT l.doc_id, l.component, s.comp_size
+        |szs AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY 1)""".stripMargin
+
+  private val fullCcOracleSql: String = ccOracleCtes + "\n" +
+    """SELECT l.doc_id, l.component, s.comp_size
         |FROM lab l JOIN szs s USING (component) ORDER BY l.doc_id""".stripMargin
+
+  // dedup_cluster_stats: the same labeling, aggregated per size class
+  private val ccStatsOracleSql: String = ccOracleCtes + "\n" +
+    """SELECT comp_size, count(*) AS n_components,
+        | CAST(sum(comp_size) AS BIGINT) AS n_docs,
+        | CAST(sum(comp_size) - count(*) AS BIGINT) AS n_dropped
+        |FROM szs GROUP BY comp_size ORDER BY comp_size""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "window_dedup" ->
@@ -1091,6 +1122,19 @@ object TrainingDataQueries {
         |      FROM documents)
         |WHERE length(w) > 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bpe_fertility: lang/doc/word/char totals exact in SQL; the BPE
+    // token mass travels as the bounded/consistent invariant flags
+    // (the bpe_encode contract aggregated per language)
+    "bpe_fertility" ->
+      """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(length(w)) AS BIGINT) AS n_chars,
+        | TRUE AS fertility_bounded, TRUE AS totals_consistent
+        |FROM (SELECT doc_id, lang,
+        |        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |      FROM documents)
+        |WHERE length(w) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "ngram_lm" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
         |           FROM documents),
@@ -1421,6 +1465,7 @@ object TrainingDataQueries {
         |FROM embeddings e LEFT JOIN comp c USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
     "dedup_components" -> fullCcOracleSql,
+    "dedup_cluster_stats" -> ccStatsOracleSql,
     // cc_incremental merges a prior labeling with a new edge batch and
     // must converge to the SAME canonical labels as the from-scratch
     // computation — one oracle checks both paths
