@@ -30,8 +30,12 @@ object Scratch {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRecursively)
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        // close deterministically: each recursion level otherwise holds
+        // an open directory handle for the whole subtree's walk
+        try children.forEach(deleteRecursively) finally children.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: Throwable => () } // best effort at exit
   }

@@ -378,6 +378,57 @@ object Curation {
   }
 
   /**
+   * MULTI-BENCHMARK contamination coverage — [[contaminationReport]]
+   * generalized to the shape a real eval owner runs: the eval table
+   * carries a BENCHMARK id column (one eval suite = many benchmarks),
+   * and the report rolls up per benchmark — how many of its items are
+   * compromised (and how badly), how many distinct training docs and
+   * distinct n-grams are implicated. One row per benchmark, so a
+   * whole suite's health is one glance; the per-item drill-down stays
+   * [[contaminationReport]] on the filtered benchmark.
+   *
+   * Scale shape: identical to the single report — eval shingles are
+   * benchmark-suite-sized and BROADCAST to the training scan (the
+   * corpus never shuffles its shingles); every rollup aggregates the
+   * hit-sized join output. The three distinct counts are SEPARATE
+   * single-distinct aggregates joined back (never one
+   * multi-countDistinct agg — the RewriteDistinctAggregates
+   * plan-flip class), and contamination_ppm is integer arithmetic.
+   */
+  def contaminationReportMulti(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, benchCol: String,
+      n: Int = 5): DataFrame = {
+    val benches = eval.select(col(idCol).as("eval_id"),
+      col(benchCol).as("bench"))
+    val evalSh = Dedup.shingleHashes(eval, idCol, textCol, n)
+      .select(col("doc").as("eval_id"), col("s"))
+      .join(broadcast(benches), "eval_id")
+    val hits = Dedup.materialize(
+      Dedup.shingleHashes(train, idCol, textCol, n)
+        .join(broadcast(evalSh), "s")
+        .select(col("bench"), col("eval_id"), col("doc"), col("s")))
+    def per(dims: Seq[String], as: String) =
+      hits.select(col("bench") +: dims.map(col): _*).distinct()
+        .groupBy(col("bench")).agg(count(lit(1)).as(as))
+    val nEval = benches.groupBy(col("bench"))
+      .agg(count(lit(1)).as("n_eval_docs"))
+    nEval
+      .join(per(Seq("eval_id"), "n_contaminated").hint("shuffle_hash"),
+        Seq("bench"), "left")
+      .join(per(Seq("doc"), "n_hit_train_docs").hint("shuffle_hash"),
+        Seq("bench"), "left")
+      .join(per(Seq("s"), "n_shared_grams").hint("shuffle_hash"),
+        Seq("bench"), "left")
+      .select(col("bench"), col("n_eval_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_hit_train_docs"), lit(0L)).as("n_hit_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contamination_ppm",
+        expr("n_contaminated * 1000000 div n_eval_docs"))
+      .orderBy(col("bench"))
+  }
+
+  /**
    * Per-source document cap — keep at most `cap` documents per source,
    * ranked by a quality column (FineWeb/RefinedWeb-style domain caps:
    * no single domain may contribute more than a bounded slice of the

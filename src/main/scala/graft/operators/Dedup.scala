@@ -64,7 +64,10 @@ object Dedup {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dirPath) if dirPath.nonEmpty =>
-        if (!spark.sparkContext.getCheckpointDir.contains(dirPath))
+        // substring match: setCheckpointDir stores a scheme-qualified
+        // `<dir>/<UUID>` child, so equality would never hold and every
+        // loop boundary would mint a fresh UUID subdirectory
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dirPath)))
           spark.sparkContext.setCheckpointDir(dirPath)
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
@@ -463,8 +466,8 @@ object Dedup {
     // signature job above already priced the count, so this branch
     // costs zero extra Spark jobs before the answer)
     val spark0 = pairs.sparkSession
-    val localMax = spark0.conf.getOption(CcLocalMaxEdgesKey)
-      .map(_.toLong).getOrElse(CcLocalMaxEdgesDefault)
+    val localMax = Budget.long(spark0, Budget.CcLocalMaxEdges,
+      CcLocalMaxEdgesDefault, legacyKey = Some(CcLocalMaxEdgesKey))
     if (localMax >= 0L && lastSig._1 <= localMax) {
       val collected = edges.collect()
       val us = new Array[Long](collected.length)
@@ -663,6 +666,100 @@ object Dedup {
   }
 
   /**
+   * EXACT SUBSTRING dedup at arbitrary alignment — the Lee et al. 2022
+   * ("Deduplicating Training Data Makes Language Models Better",
+   * ExactSubstr) operator: remove every occurrence EXCEPT THE FIRST of
+   * any repeated token span of length >= n, wherever it repeats —
+   * across documents or WITHIN one — and emit the residual document.
+   *
+   * This closes the two gaps [[dupWindowTrim]] (its fixed-k sibling)
+   * leaves open: that operator only counts a window duplicated when it
+   * appears in >= 2 DISTINCT docs (a span repeated twice inside one
+   * document is invisible), and it drops covered positions from EVERY
+   * occurrence — the shared text vanishes from the corpus entirely
+   * instead of surviving once. Here the globally-first occurrence (min
+   * (doc, pos) in lexicographic order — the deterministic stand-in for
+   * corpus order) keeps its text; all later occurrences are trimmed.
+   *
+   * WHY NO SUFFIX ARRAY: the reference technique builds a corpus
+   * suffix array and scans adjacent suffixes for LCP >= n — the right
+   * shape for one machine and one big mmap. The same semantics reduce
+   * exactly to an n-gram equality join, which is the Spark-native
+   * shape: a span of length L >= n repeats iff each of its L-n+1
+   * token n-grams repeats, so (covered positions) = (union of
+   * [s, s+n) over every non-first duplicated n-gram occurrence s),
+   * position for position what adjacent-suffix LCP >= n marks. No
+   * global suffix ordering, no order-statistics machinery — one
+   * map-side-combinable aggregate on the gram hash does it.
+   *
+   * Scale shape (corpus tokens T):
+   *  - gram table: ONE window over (doc, pos) builds the n leads;
+   *    every step codegen'd; grams are 64-bit-hashed immediately so
+   *    the shuffle carries (doc, pos, long), never n-word strings.
+   *  - first-occurrence marking: groupBy(gram) with min(struct)+count
+   *    — partial aggregation map-side-combines, so a boilerplate gram
+   *    occurring 10⁶ times costs its row count, never a buffered
+   *    window partition (the skew class a PARTITION BY gram window
+   *    would re-introduce). Only grams with count >= 2 survive to the
+   *    join back (dup grams are rare in a mostly-clean corpus), and
+   *    the join is shuffle-hash-pinned.
+   *  - coverage: NOT the explode(sequence)+distinct n× row blow-up —
+   *    a sliding rows-between window max over the dup-start flag
+   *    marks covered tokens in one pass per doc partition.
+   *  - reassembly: identical to dupWindowTrim (doc-keyed collect_list
+   *    of (pos, word), order restored by array_sort — partitioning-
+   *    independent, per-row state document-bounded).
+   * Gram-hash collisions (~T²/2⁶⁵) can only OVER-trim a span and are
+   * the same accepted odds every shingle pipeline here runs with.
+   */
+  def substringTrim(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 12): DataFrame = {
+    require(n >= 2, s"minimum span length must be >= 2, got $n")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val wordTable = materialize(df.select(col(idCol).as("doc"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w"))))
+    val withLeads = wordTable.select(col("doc") +: col("pos") +:
+      col("w").as("w0") +:
+      (1 until n).map(j => lead(col("w"), j).over(byDoc).as(s"w$j")): _*)
+    val grams = withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*)).as("g"))
+    val firstOcc = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"), col("first"))
+    // every non-first occurrence of a duplicated gram starts a trimmed
+    // span; (doc, pos) is unique in `grams` and `firstOcc` is unique
+    // per gram, so the join multiplies nothing
+    val dupStarts = grams.join(firstOcc.hint("shuffle_hash"), "g")
+      .filter(struct(col("doc"), col("pos")) =!= col("first"))
+      .select(col("doc"), col("pos"), lit(1).as("ds"))
+    val covWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val residual = wordTable
+      .join(dupStarts.hint("shuffle_hash"), Seq("doc", "pos"), "left")
+      .withColumn("cov", max(col("ds")).over(covWin))
+      .filter(col("cov").isNull)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("retained_words"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("retained_text"))
+    df.select(col(idCol).as("doc"),
+        size(words(col(textCol))).cast("long").as("n_words"))
+      .join(residual, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_words"),
+        coalesce(col("retained_words"), lit(0L)).as("retained_words"),
+        (col("n_words") - coalesce(col("retained_words"), lit(0L)))
+          .as("covered_words"),
+        coalesce(col("retained_text"), lit("")).as("retained_text"))
+      .orderBy(col(idCol))
+  }
+
+  /**
    * Persisted MinHash band index — the INCREMENTAL half of the dedup
    * story: at 100 TB you dedup each incoming batch against the
    * standing corpus without re-shingling the corpus, so the corpus'
@@ -801,13 +898,14 @@ object Dedup {
   def minhashIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String): Unit = {
     val tp = tombstonesPath(src)
-    IndexTombstones.mask(spark.read.parquet(sigsPath(src)), "doc", tp)
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, "sigs"), "doc", tp)
       .write.mode("overwrite").parquet(sigsPath(dest))
-    IndexTombstones.mask(spark.read.parquet(bandsPath(src)), "doc", tp)
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, "bands"), "doc", tp)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket_p"))
       .write.mode("overwrite").partitionBy("band", "bucket_p")
       .parquet(bandsPath(dest))
+    IndexManifest.snapshot(spark, dest, Seq("sigs", "bands"))
   }
 
   /**
@@ -825,10 +923,14 @@ object Dedup {
    */
   def minhashIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val sigs = spark.read.parquet(sigsPath(path)).select(col("doc"))
+    val sigs = IndexManifest.readTable(spark, path, "sigs").select(col("doc"))
     val flagged = IndexTombstones.read(spark, tombstonesPath(path)) match {
       case Some(t) => sigs.join(
-        t.select(col("id").as("doc")).withColumn("dead", lit(1))
+        // distinct across BATCHES: delete() dedups within a batch but
+        // re-deleting an id appends a second tombstone row, and a
+        // duplicated join key would multiply sig rows and inflate the
+        // very counts the vacuum cadence trusts
+        t.select(col("id").as("doc")).distinct().withColumn("dead", lit(1))
           .hint("shuffle_hash"),
         Seq("doc"), "left")
       case None => sigs.withColumn("dead", lit(null).cast("int"))
@@ -865,31 +967,45 @@ object Dedup {
     // batch-sized sig relation checkpoints instead — batch-sized state,
     // the same class as the probe's (a no-op when the caller already
     // materialized, as minhashRound does).
-    sigRows.write.mode(mode).parquet(sigsPath(path))
-    val sigs =
-      if (mode == org.apache.spark.sql.SaveMode.Overwrite)
-        spark.read.parquet(sigsPath(path))
-      else materialize(sigRows)
-    bandRowsOf(sigs, bands, rowsPerBand, bucketDirs)
-      // cluster rows by their target directory before the partitioned
-      // write: otherwise EVERY shuffle partition writes a file into
-      // every (band, bucket_p) directory it touches — up to
-      // parallelism × bands × bucketDirs small files and as many
-      // commit operations (measured 86s at the sf1 sweep, dominated
-      // by file commits). Clustered, each directory gets the files of
-      // the one task that owns it — for an append, that also bounds
-      // the added-file count by the batch's touched-directory count.
-      // The partition count is PINNED: the narrow (doc, band, bucket)
-      // rows are small enough that AQE would coalesce an unpinned
-      // repartition to ~1 task, serializing up to bands × bucketDirs
-      // per-file opens/commits through it (measured 13s vs 1s at
-      // sf0.1); file-write parallelism is bounded by task count, not
-      // bytes, so the cluster-sized default stays right even when the
-      // shuffle is tiny.
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("band"), col("bucket_p"))
-      .write.mode(mode).partitionBy("band", "bucket_p")
-      .parquet(bandsPath(path))
+    def writeBands(sigs: DataFrame, dest: String): Unit =
+      bandRowsOf(sigs, bands, rowsPerBand, bucketDirs)
+        // cluster rows by their target directory before the partitioned
+        // write: otherwise EVERY shuffle partition writes a file into
+        // every (band, bucket_p) directory it touches — up to
+        // parallelism × bands × bucketDirs small files and as many
+        // commit operations (measured 86s at the sf1 sweep, dominated
+        // by file commits). Clustered, each directory gets the files of
+        // the one task that owns it — for an append, that also bounds
+        // the added-file count by the batch's touched-directory count.
+        // The partition count is PINNED: the narrow (doc, band, bucket)
+        // rows are small enough that AQE would coalesce an unpinned
+        // repartition to ~1 task, serializing up to bands × bucketDirs
+        // per-file opens/commits through it (measured 13s vs 1s at
+        // sf0.1); file-write parallelism is bounded by task count, not
+        // bytes, so the cluster-sized default stays right even when the
+        // shuffle is tiny.
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket_p"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("band", "bucket_p").parquet(dest)
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      sigRows.write.mode(mode).parquet(sigsPath(path))
+      writeBands(spark.read.parquet(sigsPath(path)), bandsPath(path))
+      IndexManifest.snapshot(spark, path, Seq("sigs", "bands"))
+    } else {
+      // APPEND goes through the crash-safe commit protocol: stage the
+      // batch's files, move them into the live tree, then flip
+      // visibility with ONE manifest commit — a crash anywhere before
+      // that leaves every probe ≡ pre-append (IndexCommitSpec kills
+      // the append at each boundary and proves it)
+      val staging = IndexManifest.stagingRoot(path) + "/" +
+        java.util.UUID.randomUUID().toString
+      sigRows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging + "/sigs")
+      writeBands(materialize(sigRows), staging + "/bands")
+      IndexManifest.commit(spark, path,
+        IndexManifest.promoteStaged(spark, path, staging))
+    }
   }
 
   /**
@@ -930,7 +1046,9 @@ object Dedup {
       col("band") === b && col("bucket_p").isin(ps: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
     val spark = batchSigs.sparkSession
-    val idxBands = spark.read.parquet(bandsPath(path)).filter(pred)
+    // manifest-gated listing: only COMMITTED index files are visible,
+    // so a crashed (uncommitted) append can never leak candidates
+    val idxBands = IndexManifest.readTable(spark, path, "bands").filter(pred)
     // candidate generation touches ONLY the narrow band rows (the
     // pruned scan carries doc + bucket, a few bytes per row); the
     // signature arrays enter once per surviving candidate via the
@@ -950,7 +1068,7 @@ object Dedup {
     // against deleted corpus docs drop BEFORE their signatures are
     // fetched — one keyed anti-join against a delete-sized relation
     val live = IndexTombstones.mask(cand, "corpus_id", tombstonesPath(path))
-    val corpusSigs = spark.read.parquet(sigsPath(path))
+    val corpusSigs = IndexManifest.readTable(spark, path, "sigs")
       .select(col("doc").as("corpus_id"), col("sig").as("b_sig"))
     live
       .join(corpusSigs.hint("shuffle_hash"), "corpus_id")

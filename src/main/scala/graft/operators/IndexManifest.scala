@@ -1,0 +1,213 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Crash-safe COMMIT protocol for the persisted index family (the
+ * MinHash band index and the banded ANN index — both "a few tables
+ * under one root"). Before r10, `minhashIndexAppend`/`annIndexAppend`
+ * wrote new files straight into live partition directories: purely
+ * additive, but a writer crash BETWEEN the two table writes (sigs
+ * landed, bands didn't — or mid-move generally) left partial state
+ * visible to the next probe, and a blind re-run then duplicated rows.
+ *
+ * The fix is a versioned file MANIFEST, the open-table-format idea
+ * (Iceberg/Delta snapshot lists) at the smallest size that closes the
+ * gap:
+ *  - `<root>/_manifest/v<seq>.txt` lists every committed data file
+ *    (path relative to the root, one per line). The underscore prefix
+ *    keeps Spark's own directory scans from ever reading it as data.
+ *  - READERS resolve the highest committed version and open exactly
+ *    those files (`readTable`) — an uncommitted file in a live
+ *    directory is invisible, so any crash before the manifest flip
+ *    leaves every probe ≡ pre-append, byte for byte. An index with no
+ *    manifest (pre-r10 layout) falls back to directory listing
+ *    unchanged.
+ *  - WRITERS stage the batch under `<root>/_staging/<uuid>/`, MOVE the
+ *    finished files into the live tree (per-file rename — metadata
+ *    ops), then flip visibility with ONE manifest commit: the next
+ *    version is written to a dot-temp file and renamed into place.
+ *    Crash before the flip → orphan files only (an [[orphans]] sweep
+ *    lists them for cleanup); crash after → the append is complete.
+ *  - FENCING: the rename targets a version-numbered name, so on HDFS
+ *    (rename never overwrites) a losing concurrent committer fails,
+ *    re-reads the new head, and retries with disjoint file additions.
+ *    On a raw local FS the existence check narrows but cannot close
+ *    the race (java rename replaces); an object-store deployment
+ *    should back this with a conditional-put, exactly as Delta's
+ *    LogStore does. Single-writer-per-index remains the documented
+ *    deployment shape; the manifest's job is CRASH atomicity.
+ *
+ * The flat tombstone table stays OUTSIDE the manifest on purpose: its
+ * rows are semantically idempotent (mask/stats deduplicate), so a
+ * torn tombstone append can at worst re-deliver a delete — the one
+ * write here that is safe to re-run blindly.
+ */
+object IndexManifest {
+
+  private def manifestDir(root: String): String =
+    root.stripSuffix("/") + "/_manifest"
+  private[operators] def stagingRoot(root: String): String =
+    root.stripSuffix("/") + "/_staging"
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toLongOption
+    else None
+
+  /** Highest committed (version, files) — None for a pre-manifest
+    * index. Files are root-relative. */
+  def read(spark: SparkSession, root: String): Option[(Long, Seq[String])] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(manifestDir(root))
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+    if (versions.isEmpty) return None
+    val (v, p) = versions.maxBy(_._1)
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    Some((v, body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)))
+  }
+
+  /** Commit `currentFiles ++ added` as the next version; returns it.
+    * Retries (bounded) when a concurrent committer won the version. */
+  def commit(spark: SparkSession, root: String, added: Seq[String]): Long = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(manifestDir(root))
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (true) {
+      val (prev, files) = read(spark, root).getOrElse((-1L, Seq.empty))
+      val next = prev + 1
+      val target = new Path(dir, f"v$next%019d.txt")
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(((files ++ added).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (won) return next
+      fs.delete(tmp, false)
+      attempt += 1
+      require(attempt < 20,
+        s"IndexManifest.commit: lost the version race $attempt times at " +
+          s"$root — is a runaway committer loop holding the index?")
+    }
+    -1L // unreachable
+  }
+
+  /** Recursive data files under root/subdir, root-relative, hidden
+    * (`_`/`.`) names skipped — Spark's own visibility rule. */
+  def listDataFiles(spark: SparkSession, root: String,
+      subdir: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val base = new Path(
+      if (subdir.isEmpty) root.stripSuffix("/")
+      else root.stripSuffix("/") + "/" + subdir)
+    if (!fs.exists(base)) return Seq.empty
+    val rootUri = new Path(root.stripSuffix("/")).toUri.getPath
+    val out = Seq.newBuilder[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) out +=
+          s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      }
+    }
+    walk(base)
+    out.result()
+  }
+
+  /** Snapshot the CURRENT directory contents of `subdirs` as the next
+    * committed version — for overwrite builds (v0) and for external
+    * rewrites (vacuum/compact destinations). */
+  def snapshot(spark: SparkSession, root: String,
+      subdirs: Seq[String]): Long = {
+    // a snapshot REPLACES the file list: clear history first so commit
+    // starts from empty rather than appending to a stale version
+    val fs = fsOf(spark, root)
+    fs.delete(new Path(manifestDir(root)), true)
+    commit(spark, root, subdirs.flatMap(listDataFiles(spark, root, _)))
+  }
+
+  /**
+   * Open `root/subdir` through the manifest when one exists — only
+   * committed files are visible — else by directory listing (legacy
+   * pre-manifest index). `basePath` keeps partition-directory columns
+   * (band=…/bucket=…) alive on the explicit-file read, so partition
+   * pruning and the numFiles metrics behave exactly as before.
+   */
+  def readTable(spark: SparkSession, root: String, subdir: String): DataFrame = {
+    val dir =
+      if (subdir.isEmpty) root.stripSuffix("/")
+      else root.stripSuffix("/") + "/" + subdir
+    read(spark, root) match {
+      case Some((_, files)) =>
+        // subdir "" = the root IS the (single-table) index — the flat
+        // IVF/PQ/SQ8 layouts; every committed file belongs to it
+        val mine = files.filter(f => subdir.isEmpty || f.startsWith(subdir + "/"))
+          .map(root.stripSuffix("/") + "/" + _)
+        if (mine.isEmpty) spark.read.parquet(dir)
+        else spark.read.option("basePath", dir).parquet(mine: _*)
+      case None => spark.read.parquet(dir)
+    }
+  }
+
+  /**
+   * MOVE every data file under `stagingDir` (which mirrors the index
+   * layout) into the live tree and return the moved root-relative
+   * paths — the pre-commit half of an append. Parquet part names
+   * carry UUIDs, so collisions don't occur; a crash mid-move leaves
+   * some files live-but-uncommitted (invisible to readers) and the
+   * rest staged.
+   */
+  def promoteStaged(spark: SparkSession, root: String,
+      stagingDir: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val stagedBase = new Path(stagingDir)
+    val stagedUri = stagedBase.toUri.getPath
+    val moved = Seq.newBuilder[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) {
+          val rel = s.getPath.toUri.getPath.stripPrefix(stagedUri)
+            .stripPrefix("/")
+          val dest = new Path(root.stripSuffix("/") + "/" + rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(s.getPath, dest),
+            s"IndexManifest: failed to promote staged file $rel")
+          moved += rel
+        }
+      }
+    }
+    walk(stagedBase)
+    fs.delete(stagedBase, true)
+    moved.result()
+  }
+
+  /** Live-tree data files NOT referenced by the current manifest —
+    * the debris a crashed append leaves; safe to delete any time. */
+  def orphans(spark: SparkSession, root: String,
+      subdirs: Seq[String]): Seq[String] =
+    read(spark, root) match {
+      case Some((_, files)) =>
+        val committed = files.toSet
+        subdirs.flatMap(listDataFiles(spark, root, _))
+          .filterNot(committed)
+      case None => Seq.empty
+    }
+}

@@ -32,11 +32,14 @@ object IndexTombstones {
     indexPath.stripSuffix("/") + "_tombstones"
 
   /** Append `ids` to the tombstone set at `tombstonesPath` — the whole
-    * delete operation. Stored as a single long `id` column; distinct
-    * within the batch (re-deleting an id is idempotent semantically,
-    * and the table stays delete-history-sized, compacted at vacuum). */
+    * delete operation. Stored as a single `id` column in the id's
+    * NATIVE type (the index writers accept arbitrary idCol types; a
+    * long cast here would null out string ids under non-ANSI and make
+    * the delete a silent no-op). Distinct within the batch
+    * (re-deleting an id is idempotent semantically, and the table
+    * stays delete-history-sized, compacted at vacuum). */
   def delete(ids: DataFrame, idCol: String, tombstonesPath: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    ids.select(col(idCol).as("id")).distinct()
       .write.mode(SaveMode.Append).parquet(tombstonesPath)
 
   /** The tombstone ids if any delete has landed, else None — a missing

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
  * materialized through [[Dedup.materializeLoop]] so the
  * `spark.graft.checkpointDir` durability conf covers it). Rounds are
  * data-dependent but each is strictly smaller than the last; the
- * per-round convergence probe is one count on the (node-sized) dead
- * set. Skew-safe by construction: unlike wedge/triangle generation
+ * per-round convergence probe is one count on the (checkpointed,
+ * node-sized) survivor set the degree aggregate already produced — a
+ * round costs exactly two checkpoint jobs plus that count, and the
+ * peeled accumulator is never re-materialized (per-round dead sets
+ * are disjoint and union lazily at the end). Skew-safe by construction: unlike wedge/triangle generation
  * nothing here is quadratic in degree — a celebrity node costs its
  * degree in edge rows, never degree².
  *
@@ -46,26 +49,37 @@ object KCore {
     // directed adjacency (both directions): degree = count of out rows
     var live = Dedup.materialize(
       edges.union(edges.select(col("v"), col("u"))))
-    var alive = live.select(col("u").as("node")).distinct()
-    var peeled = spark.emptyDataFrame
-      .withColumn("node", lit("")).withColumn("peeled_round", lit(0))
-      .limit(0)
+    var alive = Dedup.materializeLoop(
+      live.select(col("u").as("node")).distinct())
+    var aliveCount = alive.count()
+    // the per-round dead sets are DISJOINT by construction (each is a
+    // subset of the previous alive minus the next), so they accumulate
+    // lazily — plans rooted at the two checkpointed frontiers they
+    // anti-join — and union ONCE at the end. Checkpointing the monotone
+    // accumulator every round (the pre-r10 shape) paid
+    // O(rounds × peeled-size) checkpoint I/O for state the frontiers
+    // already determine.
+    var deadSets = List.empty[DataFrame]
     var round = 1
     var converged = false
     while (!converged && round <= maxRounds) {
-      val survivors = live.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("node"))
-      // shuffle-hash-pinned: node-sized vs node-sized, the AQE
-      // build-side plan-flip class
-      val dead = alive.join(survivors.hint("shuffle_hash"),
-        Seq("node"), "left_anti")
-      if (dead.isEmpty) converged = true
+      val survivors = Dedup.materializeLoop(
+        live.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("node")))
+      // convergence from the survivor count the degree aggregate just
+      // computed (a metadata-cheap count on the checkpointed result) —
+      // no separate dead.isEmpty job per round
+      val survivorCount = survivors.count()
+      if (survivorCount == aliveCount) converged = true
       else {
-        peeled = peeled.unionByName(
-          dead.withColumn("peeled_round", lit(round)))
-        alive = Dedup.materializeLoop(survivors)
-        peeled = Dedup.materializeLoop(peeled)
+        // shuffle-hash-pinned: node-sized vs node-sized, the AQE
+        // build-side plan-flip class
+        deadSets ::= alive
+          .join(survivors.hint("shuffle_hash"), Seq("node"), "left_anti")
+          .withColumn("peeled_round", lit(round))
+        alive = survivors
+        aliveCount = survivorCount
         // edges survive iff BOTH endpoints do (two keyed semi joins)
         live = Dedup.materializeLoop(live
           .join(alive.withColumnRenamed("node", "u").hint("shuffle_hash"),
@@ -75,7 +89,7 @@ object KCore {
         round += 1
       }
     }
-    alive.withColumn("peeled_round", lit(0)).unionByName(peeled)
-      .orderBy(col("node"))
+    deadSets.foldLeft(alive.withColumn("peeled_round", lit(0)))(
+      _ unionByName _).orderBy(col("node"))
   }
 }

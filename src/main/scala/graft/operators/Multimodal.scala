@@ -145,71 +145,178 @@ object Multimodal {
    * Perceptual NEAR-dup media dedup — the stage after [[mm_dedup]]'s
    * exact content addressing: re-encoded/lightly-edited copies share
    * no content hash but land within a few bits of each other under a
-   * locality-sensitive perceptual hash. The hash here is a 64-bit
-   * SimHash over the payload's char 3-grams (the deterministic
-   * stand-in for a real pHash over decoded pixels — same seam as
-   * `fakeDecode`, and the banding/query machinery is decode-agnostic),
-   * built from md5 so the DuckDB oracle reproduces every bit and the
-   * registry check is ROW-exact, not a recall flag (contrast
-   * `dedup_simhash`, whose xxhash64 bits the oracle can't recompute).
+   * locality-sensitive perceptual hash. The hash here is a SimHash
+   * over the payload's char 3-grams (the deterministic stand-in for a
+   * real pHash over decoded pixels — same seam as `fakeDecode`, and
+   * the banding/query machinery is decode-agnostic), built from md5
+   * so the DuckDB oracle reproduces every bit and the registry check
+   * is ROW-exact, not a recall flag (contrast `dedup_simhash`, whose
+   * xxhash64 bits the oracle can't recompute).
    *
    * Candidate generation is pigeonhole-COMPLETE, not probabilistic:
-   * the 64 bits split into 4 bands of 16; two hashes within Hamming
-   * distance τ=3 differ in at most 3 bands, so they MATCH on at least
-   * one — every qualifying pair is a candidate by construction (the
-   * classic simhash-dedup decomposition). Scale shape: one band
-   * equi-join on (band, 16-bit value) — ~n²/2¹⁶ candidate pairs per
-   * band against a full corpus, each verified by 4 codegen'd
-   * bit_count(xor) ops; signatures travel once per doc (narrow band
-   * rows, wide rows fetched per surviving candidate — the index
-   * layout rule). No full-signature shuffle, no quadratic stage.
+   * the `bands` 16-bit bands cover the fingerprint, and two hashes
+   * within Hamming distance τ <= bands-1 differ in at most τ bands,
+   * so they MATCH on at least one — every qualifying pair is a
+   * candidate by construction. Scale defenses (all EXACT — the pair
+   * set never changes; MediaBandSpec proves equality to the naive
+   * band join + distinct):
+   *  - EAGER CANDIDATE BUDGET: Σ C(bucket,2) is computed from a
+   *    narrow aggregate BEFORE the self-join is planned and the query
+   *    refuses BY NAME over `spark.graft.budget.bandCandPairs` — the
+   *    Triangles wedge-guard contract. Candidate volume is ~n²/2¹⁶
+   *    per band, quadratic in asset count; at 10⁹ assets this join
+   *    must not plan, it must explain itself (use the wide
+   *    fingerprint, pre-bucket by exact hash, or raise the budget on
+   *    a sized-for-it cluster).
+   *  - DENSE-BUCKET SALTING: buckets above
+   *    `spark.graft.budget.maxBucketRows` split into ⌈size/cap⌉ salt
+   *    groups (probe keeps one, build replicates), so one degenerate
+   *    bucket can't serialize the stage.
+   *  - FIRST-COLLIDING-BAND dedup: each unordered pair materializes
+   *    exactly once — in the lowest band where the fingerprints
+   *    agree (branch-free SWAR on xor of the packed codes) — so the
+   *    candidate-sized `distinct` shuffle disappears, and the
+   *    Hamming verify runs off the codes the join rows already carry
+   *    (no signature fetch join at all).
+   *
+   * For real scale prefer [[nearDupMediaWide]]: the same machinery on
+   * a 128-bit fingerprint (8 bands), whose buckets are ~2³² sparser
+   * for the same τ<=3 — candidate volume stays near-linear far longer
+   * (measured in MediaProbe, SURVEY §6).
    */
-  def nearDupMedia(manifestDf: DataFrame, tau: Int = 3): DataFrame = {
-    val bands = 4
+  def nearDupMedia(manifestDf: DataFrame, tau: Int = 3): DataFrame =
+    simhashNearDup(manifestDf, bands = 4, tau = tau, op = "mm_dedup_near")
+
+  /** 128-bit wide-fingerprint variant: 8 bands of 16 bits, pigeonhole-
+    * complete for τ <= 7. Same oracle-reproducible md5 bit source
+    * (full 32 hex chars), same defenses; the per-band bucket space is
+    * identical (2¹⁶) but a band collision now conditions on 16 of 128
+    * bits, so random (non-near-dup) collisions are vastly rarer and
+    * candidate volume grows near-linearly where the 64-bit form has
+    * gone quadratic (MediaProbe measures the growth sf0.1 → sf10). */
+  def nearDupMediaWide(manifestDf: DataFrame, tau: Int = 7): DataFrame =
+    simhashNearDup(manifestDf, bands = 8, tau = tau, op = "mm_dedup_near_wide")
+
+  /** Materialized packed SimHash signatures: (id, c_0[, c_1]) — 4
+    * 16-bit bands per long. Shared by the dedup path and MediaProbe's
+    * candidate-volume measurement. */
+  private def simhashSig(manifestDf: DataFrame, bands: Int): DataFrame = {
     val bitsPerBand = 16
-    // per-gram feature bits: first 16 md5 hex chars = 64 bits, read as
-    // four 16-bit words (one md5 per gram, substring'd — never four)
+    require(bands == 4 || bands == 8, "fingerprint is 64-bit (4 bands) or 128-bit (8)")
+    // per-gram feature bits: md5 hex chars = 16 bits per 4 chars (one
+    // md5 per gram, substring'd — never several)
     val grams = manifestDf
       .select(col("asset_id"), col("payload").cast("string").as("p"))
       .select(col("asset_id"), explode(expr(
         "transform(sequence(1, greatest(length(p) - 2, 1)), i -> substring(p, i, 3))"))
         .as("ng"))
-      .withColumn("hex", substring(md5(col("ng").cast("binary")), 1, 16))
+      .withColumn("hex", substring(md5(col("ng").cast("binary")), 1, bands * 4))
       .select(col("asset_id") +:
         (0 until bands).map(b =>
           conv(substring(col("hex"), b * 4 + 1, 4), 16, 10)
             .cast("long").as(s"w_$b")): _*)
-    // the SimHash majority vote: one doc-keyed aggregate with 64
-    // map-side-partial sums (±1 per gram per bit); ties break to 1
-    // (>= 0) identically in the oracle
+    // the SimHash majority vote: one doc-keyed aggregate with
+    // bands×16 map-side-partial sums (±1 per gram per bit); ties
+    // break to 1 (>= 0) identically in the oracle
     val sCols = for (b <- 0 until bands; j <- 0 until bitsPerBand) yield
       sum(when(shiftright(col(s"w_$b"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s_${b}_$j")
     val sums = grams.groupBy(col("asset_id")).agg(sCols.head, sCols.tail: _*)
-    val sig = Dedup.materialize(sums.select(col("asset_id") +:
-      (0 until bands).map(b => (0 until bitsPerBand).map(j =>
-          when(col(s"s_${b}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"bv_$b")): _*))
-    val banded = sig.select(col("asset_id"),
-      posexplode(array((0 until bands).map(b => col(s"bv_$b")): _*))
-        .as(Seq("band", "bv")))
-    // shuffle-hash-pinned: at test SF these joins sit near the
-    // broadcast threshold and an unhinted join races AQE's build-side
-    // choice (the dedup_components plan-flip class); hash is also the
-    // honest corpus-scale shape — both sides data-sized
-    val cand = banded.as("a")
-      .join(banded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"))
-      .distinct()
-    cand
-      .join(sig.as("sa").hint("shuffle_hash"), col("id1") === col("sa.asset_id"))
-      .join(sig.as("sb").hint("shuffle_hash"), col("id2") === col("sb.asset_id"))
-      .select(col("id1"), col("id2"),
-        (0 until bands).map(b =>
-            bit_count(col(s"sa.bv_$b").bitwiseXOR(col(s"sb.bv_$b"))))
-          .reduce(_ + _).cast("long").as("hamming"))
+    val nCodes = bands / 4
+    // bands packed 4-per-long: the join rows carry the whole
+    // fingerprint as 1-2 longs, so first-band dedup and the Hamming
+    // verify are pure bit math on columns already in flight
+    Dedup.materialize(sums.select(col("asset_id").as("id") +:
+      (0 until nCodes).map(k => (0 until 4).map(i => (0 until bitsPerBand).map(j =>
+          when(col(s"s_${4 * k + i}_$j") >= 0,
+            lit((1L << j) << (16 * i))).otherwise(lit(0L)))
+        .reduce(_ + _)).reduce(_ + _).as(s"c_$k")): _*))
+  }
+
+  private def bandedOf(sig: DataFrame, nCodes: Int): DataFrame = {
+    val word = (k: Int, i: Int) =>
+      shiftright(col(s"c_$k"), 16 * i).bitwiseAND(lit(0xffffL))
+    sig.select(col("id") +: (0 until nCodes).map(k => col(s"c_$k")) :+
+      posexplode(array((for (k <- 0 until nCodes; i <- 0 until 4)
+        yield word(k, i)): _*)).as(Seq("band", "bucket")): _*)
+  }
+
+  /** The eager guard's own candidate arithmetic, exposed for the
+    * MediaProbe measurement: Σ C(bucket size, 2) over (band, bucket)
+    * at the given fingerprint geometry — exactly the pair volume the
+    * band self-join would face. */
+  def bandedCandidatePairs(manifestDf: DataFrame, bands: Int): Long =
+    bandedOf(simhashSig(manifestDf, bands), bands / 4)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(coalesce(sum(expr("bsz * (bsz - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+
+  private def simhashNearDup(manifestDf: DataFrame, bands: Int, tau: Int,
+      op: String): DataFrame = {
+    val bitsPerBand = 16
+    require(tau <= bands - 1,
+      s"$op: pigeonhole completeness needs tau <= bands-1 (= ${bands - 1}), got $tau")
+    val nCodes = bands / 4
+    val sig = simhashSig(manifestDf, bands)
+    val banded = bandedOf(sig, nCodes)
+    val spark = manifestDf.sparkSession
+    // EAGER budget guard — priced off one narrow aggregate over the
+    // materialized signatures, before the quadratic join is planned
+    val budget = Budget.long(spark, Budget.BandCandPairs, 2000000000L)
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    if (budget >= 0L) {
+      val candPairs = sizes
+        .agg(coalesce(sum(expr("bsz * (bsz - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      require(candPairs <= budget,
+        s"$op: $candPairs banded candidate pairs exceed " +
+          s"spark.graft.budget.bandCandPairs=$budget — use the wide " +
+          "(128-bit) fingerprint, pre-split by exact content hash, or " +
+          "raise the budget on a cluster sized for the join")
+    }
+    val cap = Budget.int(spark, Budget.MaxBucketRows, 1024)
+    val withG = banded.join(
+      broadcast(sizes.select(col("band"), col("bucket"),
+        greatest(lit(1L), ceil(col("bsz") / lit(cap))).cast("int").as("g"))),
+      Seq("band", "bucket"))
+    // dense buckets split across ⌈size/cap⌉ salt groups: probe keeps
+    // one group per row, build replicates — same pairs, spread tasks.
+    // The explicit partition count survives AQE coalescing (the banded
+    // rows are bytes-tiny but carry quadratic downstream work — every
+    // size heuristic misjudges this join; cf. Similarity.bandedHalfPairs)
+    val par = spark.sparkContext.defaultParallelism
+    val probe = withG.withColumn("salt",
+        pmod(xxhash64(col("id"), col("band")), col("g")).cast("int"))
+      .repartition(par, col("band"), col("bucket"), col("salt"))
+    val build = withG.withColumn("salt",
+      explode(sequence(lit(0), col("g") - 1)))
+    // first-colliding-band: fold each 16-bit xor segment onto its low
+    // bit (SWAR), invert+mask → one set bit per agreeing band; the
+    // pair is emitted only where a.band is the LOWEST such band
+    val lsbMask = (0 until 4).map(i => 1L << (16 * i)).reduce(_ | _)
+    def collidingMask(k: Int): Column = {
+      val x = col(s"a.c_$k").bitwiseXOR(col(s"b.c_$k"))
+      val folded = (0 until bitsPerBand).map(j => shiftright(x, j))
+        .reduce(_ bitwiseOR _).bitwiseAND(lit(lsbMask))
+      bitwise_not(folded).bitwiseAND(lit(lsbMask))
+    }
+    def lowestRank(m: Column): Column =
+      (bit_count(m.bitwiseAND(-m) - lit(1L)) / lit(16)).cast("int")
+    val firstBand =
+      if (nCodes == 1) lowestRank(collidingMask(0))
+      else when(collidingMask(0) =!= 0L, lowestRank(collidingMask(0)))
+        .otherwise(lit(4) + lowestRank(collidingMask(1)))
+    val hamming = (0 until nCodes).map(k =>
+        bit_count(col(s"a.c_$k").bitwiseXOR(col(s"b.c_$k"))))
+      .reduce(_ + _).cast("long")
+    probe.as("a").join(build.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") && col("a.id") < col("b.id"))
+      .filter(col("a.band") === firstBand)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= tau)
       .orderBy(col("id1"), col("id2"))
   }
@@ -217,6 +324,8 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_near" -> ((s, d) =>
       nearDupMedia(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
+    "mm_dedup_near_wide" -> ((s, d) =>
+      nearDupMediaWide(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_resize" -> ((s, d) =>
       resizePlan(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_frames" -> ((s, d) =>
@@ -282,6 +391,31 @@ object Multimodal {
         |        JOIN bv y ON y.asset_id = id2 AND y.b = x.b
         |      GROUP BY 1, 2)
         |SELECT id1, id2, hamming FROM d WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    // wide (128-bit) sibling: all 32 md5 hex chars -> 8 bands of 16
+    // bits, tau = 7; same vote, same candidates, same verify
+    "mm_dedup_near_wide" ->
+      """WITH p AS (SELECT doc_id AS asset_id, text AS pl FROM documents),
+        |g AS (SELECT asset_id, substr(pl, i, 3) AS ng
+        |      FROM p, unnest(range(1, greatest(length(pl) - 2, 1) + 1)) t(i)),
+        |hx AS (SELECT asset_id, md5(ng) AS hex FROM g),
+        |w AS (SELECT asset_id, b, ('0x' || substr(hex, b * 4 + 1, 4))::BIGINT AS wv
+        |      FROM hx, unnest(range(0, 8)) tb(b)),
+        |s AS (SELECT asset_id, b, j,
+        |        sum(CASE WHEN (wv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+        |      FROM w, unnest(range(0, 16)) tj(j) GROUP BY 1, 2, 3),
+        |bv AS (SELECT asset_id, b,
+        |        CAST(sum(CASE WHEN sv >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bvv
+        |       FROM s GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.asset_id AS id1, b2.asset_id AS id2
+        |         FROM bv a JOIN bv b2 ON a.b = b2.b AND a.bvv = b2.bvv
+        |           AND a.asset_id < b2.asset_id),
+        |d AS (SELECT id1, id2,
+        |        CAST(sum(bit_count(xor(x.bvv, y.bvv))) AS BIGINT) AS hamming
+        |      FROM cand JOIN bv x ON x.asset_id = id1
+        |        JOIN bv y ON y.asset_id = id2 AND y.b = x.b
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM d WHERE hamming <= 7
         |ORDER BY id1, id2""".stripMargin,
     // The decoder stub runs as imperative JVM code inside mapPartitions
     // — so its oracle re-implements the SAME byte-level spec in pure

@@ -38,8 +38,8 @@ object ScaleGuard {
     * is small enough for an all-pairs stage; throws (naming
     * `scaleSibling`) otherwise. */
   def allPairs(df: DataFrame, op: String, scaleSibling: String): DataFrame = {
-    val max = df.sparkSession.conf.getOption(ConfKey)
-      .map(_.toLong).getOrElse(DefaultMaxRows)
+    val max = Budget.long(df.sparkSession, Budget.AllPairsMaxRows,
+      DefaultMaxRows, legacyKey = Some(ConfKey))
     if (max >= 0L) {
       val n = df.count()
       if (n > max) throw new IllegalStateException(

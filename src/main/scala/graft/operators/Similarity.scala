@@ -405,6 +405,7 @@ object Similarity {
       .flatMap { case (c, i) => c.zipWithIndex.map { case (x, d) => (i, d, x) } }
       .toSeq.toDF("cluster", "dim", "x")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    IndexManifest.snapshot(spark, path, Seq(""))
   }
 
   /**
@@ -422,10 +423,18 @@ object Similarity {
    * as with any IVF deployment.
    */
   def ivfIndexAppend(df: DataFrame, idCol: String, vecCol: String,
-      path: String, extraCols: Seq[String] = Nil): Unit =
+      path: String, extraCols: Seq[String] = Nil): Unit = {
+    // crash-safe append (the banded-index contract): stage the batch's
+    // cluster files, promote, flip visibility in one manifest commit
+    val spark = df.sparkSession
+    val staging = IndexManifest.stagingRoot(path) + "/" +
+      java.util.UUID.randomUUID().toString
     ivfWriteAssigned(withNorm(df, idCol +: extraCols, vecCol),
-      loadCenters(df.sparkSession, path), path,
-      org.apache.spark.sql.SaveMode.Append)
+      loadCenters(spark, path), staging,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexManifest.commit(spark, path,
+      IndexManifest.promoteStaged(spark, path, staging))
+  }
 
   /**
    * Deterministic nearest-centroid assignment: squared euclidean via
@@ -497,7 +506,7 @@ object Similarity {
       .take(nProbe).map(_._1)
     val qv = array(queryVec.map(lit): _*)
     val hits = IndexTombstones.mask(
-      spark.read.parquet(path)
+      IndexManifest.readTable(spark, path, "")
         .filter(col("cluster").isin(probes.map(Integer.valueOf): _*)),
       idCol, IndexTombstones.siblingPath(path))
     excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id))
@@ -704,6 +713,7 @@ object Similarity {
       (i / (ksub * subDim), (i / subDim) % ksub, i % subDim, x)
     }.toSeq.toDF("sub", "centroid", "dim", "x")
       .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
+    IndexManifest.snapshot(spark, path, Seq(""))
   }
 
   /**
@@ -719,6 +729,10 @@ object Similarity {
       path: String, m: Int = 16, ksub: Int = 16): Unit = {
     val cb = df.sparkSession.read.parquet(codebookPath(path)).collect()
     val subDim = cb.map(_.getInt(2)).max + 1
+    // m/ksub are recoverable from the persisted codebook exactly like
+    // subDim; a caller passing build-mismatched values would otherwise
+    // silently mis-index the flattened array and write garbage codes
+    requireCodebookShape(cb, m, ksub)
     val codebook = new Array[Double](m * ksub * subDim)
     cb.foreach { r =>
       codebook((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
@@ -727,14 +741,33 @@ object Similarity {
     val vecs = withNorm(df, Seq(idCol), vecCol)
       .select(col(idCol).as("id"), col("v"), col("nrm"))
       .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val spark = df.sparkSession
+    val staging = IndexManifest.stagingRoot(path) + "/" +
+      java.util.UUID.randomUUID().toString
     vecs.select(col("id"),
         graft.functions.VectorFunctions.pqEncode(col("u"), codebook, m, ksub,
           subDim).as("code"))
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(staging)
+    IndexManifest.commit(spark, path,
+      IndexManifest.promoteStaged(spark, path, staging))
   }
 
   private def codebookPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "_codebook"
+
+  /** Fail the contract loudly when the caller's (m, ksub) disagree with
+    * the persisted codebook's dimensions instead of mis-indexing the
+    * flattened array (garbage codes) or throwing ArrayIndexOutOfBounds
+    * mid-encode. */
+  private def requireCodebookShape(cb: Array[org.apache.spark.sql.Row],
+      m: Int, ksub: Int): Unit = {
+    val mCb = cb.map(_.getInt(0)).max + 1
+    val ksubCb = cb.map(_.getInt(1)).max + 1
+    require(m == mCb && ksub == ksubCb,
+      s"PQ codebook at this path was built with m=$mCb, ksub=$ksubCb " +
+        s"but caller passed m=$m, ksub=$ksub — pass the build parameters " +
+        "(or rebuild via pqIndexWrite)")
+  }
 
   /**
    * Probe the persisted PQ index: codebook loads driver-side (1 KB of
@@ -750,6 +783,7 @@ object Similarity {
       refine: Int = 16, excludeId: Option[Long] = None): DataFrame = {
     val cb = spark.read.parquet(codebookPath(path)).collect()
     val subDim = cb.map(_.getInt(2)).max + 1
+    requireCodebookShape(cb, m, ksub)
     val codebook = new Array[Double](m * ksub * subDim)
     cb.foreach { r =>
       codebook((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
@@ -772,7 +806,7 @@ object Similarity {
       }
       s += 1
     }
-    val codes = IndexTombstones.mask(spark.read.parquet(path), "id",
+    val codes = IndexTombstones.mask(IndexManifest.readTable(spark, path, ""), "id",
       IndexTombstones.siblingPath(path))
     val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
       .withColumn("aip",
@@ -881,6 +915,7 @@ object Similarity {
     import spark.implicits._
     mins.indices.map(i => (i, mins(i), maxs(i))).toDF("d", "vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(paramsPath(path))
+    IndexManifest.snapshot(spark, path, Seq(""))
   }
 
   /**
@@ -897,9 +932,14 @@ object Similarity {
    */
   def sq8IndexAppend(df: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val (mins, maxs) = loadSq8Params(df.sparkSession, path)
-    sq8WriteEncoded(sq8Normalized(df, idCol, vecCol), mins, maxs, path,
-      org.apache.spark.sql.SaveMode.Append)
+    val spark = df.sparkSession
+    val (mins, maxs) = loadSq8Params(spark, path)
+    val staging = IndexManifest.stagingRoot(path) + "/" +
+      java.util.UUID.randomUUID().toString
+    sq8WriteEncoded(sq8Normalized(df, idCol, vecCol), mins, maxs, staging,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexManifest.commit(spark, path,
+      IndexManifest.promoteStaged(spark, path, staging))
   }
 
   private def sq8Normalized(df: DataFrame, idCol: String,
@@ -951,7 +991,7 @@ object Similarity {
     val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
     val qu = queryVec.map(_ / qnrm)
     val (weights, qConst) = sq8QueryFold(qu, mins, maxs)
-    val codes = IndexTombstones.mask(spark.read.parquet(path), "id",
+    val codes = IndexTombstones.mask(IndexManifest.readTable(spark, path, ""), "id",
       IndexTombstones.siblingPath(path))
     val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
       .withColumn("aip",
@@ -1037,12 +1077,7 @@ object Similarity {
     // the stored vector, cheap to recompute). On APPEND the read-back
     // would see the whole standing table, so the batch-sized relation
     // checkpoints instead — the minhash writeIndexRows contract.
-    vecRows.write.mode(mode).parquet(annVecsPath(path))
-    val back =
-      if (mode == org.apache.spark.sql.SaveMode.Overwrite)
-        spark.read.parquet(annVecsPath(path))
-      else graft.operators.Dedup.materialize(vecRows)
-    back
+    def writeBands(back: DataFrame, dest: String): Unit = back
       .withColumn("code", hyperplaneCode(col("v"), dim, bands * planesPerBand))
       .select(col(idCol),
         posexplode(array((0 until bands).map { b =>
@@ -1053,8 +1088,24 @@ object Similarity {
       // small-shuffle coalescing (see minhashIndexWrite)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
-      .write.mode(mode).partitionBy("band", "bucket")
-      .parquet(annBandsPath(path))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band", "bucket").parquet(dest)
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      vecRows.write.mode(mode).parquet(annVecsPath(path))
+      writeBands(spark.read.parquet(annVecsPath(path)), annBandsPath(path))
+      IndexManifest.snapshot(spark, path, Seq("vecs", "bands"))
+    } else {
+      // crash-safe append: stage both tables, promote, flip visibility
+      // with one manifest commit (the minhash append contract —
+      // IndexCommitSpec kills the append at each boundary)
+      val staging = IndexManifest.stagingRoot(path) + "/" +
+        java.util.UUID.randomUUID().toString
+      vecRows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging + "/vecs")
+      writeBands(graft.operators.Dedup.materialize(vecRows), staging + "/bands")
+      IndexManifest.commit(spark, path,
+        IndexManifest.promoteStaged(spark, path, staging))
+    }
   }
 
   /**
@@ -1088,13 +1139,13 @@ object Similarity {
     // once. Exclude and tombstone-mask BEFORE ranking — a corpus-
     // resident query vector sits in its own buckets at cos 1.0 and
     // would eat a top-k slot.
-    val hits = spark.read.parquet(annBandsPath(path)).filter(pred)
+    val hits = IndexManifest.readTable(spark, path, "bands").filter(pred)
       .select(col(idCol)).distinct()
     val live = IndexTombstones.mask(
       excludeId.fold(hits)(id => hits.filter(col(idCol) =!= id)),
       idCol, IndexTombstones.siblingPath(path))
     live
-      .join(spark.read.parquet(annVecsPath(path)).hint("shuffle_hash"),
+      .join(IndexManifest.readTable(spark, path, "vecs").hint("shuffle_hash"),
         Seq(idCol))
       .withColumn("cos", round(dot(col("v"), qv) / (col("nrm") * lit(qnrm)), 6))
       .select(col(idCol), col("cos"))
@@ -1141,7 +1192,7 @@ object Similarity {
     val pred = byBand.toSeq.sortBy(_._1).map { case (b, bs) =>
       col("band") === b && col("bucket").isin(bs: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val idxBands = spark.read.parquet(annBandsPath(path)).filter(pred)
+    val idxBands = IndexManifest.readTable(spark, path, "bands").filter(pred)
       .select(col(idCol).as("corpus_id"), col("band"), col("bucket"))
     val cand = banded
       .join(idxBands.hint("shuffle_hash"), Seq("band", "bucket"))
@@ -1149,7 +1200,7 @@ object Similarity {
       .distinct()
     val live = IndexTombstones.mask(cand, "corpus_id",
       IndexTombstones.siblingPath(path))
-    val cvecs = spark.read.parquet(annVecsPath(path))
+    val cvecs = IndexManifest.readTable(spark, path, "vecs")
       .select(col(idCol).as("corpus_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     live
@@ -1188,13 +1239,14 @@ object Similarity {
   def annIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, idCol: String): Unit = {
     val tp = IndexTombstones.siblingPath(src)
-    IndexTombstones.mask(spark.read.parquet(annVecsPath(src)), idCol, tp)
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, "vecs"), idCol, tp)
       .write.mode("overwrite").parquet(annVecsPath(dest))
-    IndexTombstones.mask(spark.read.parquet(annBandsPath(src)), idCol, tp)
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, "bands"), idCol, tp)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band", "bucket")
       .parquet(annBandsPath(dest))
+    IndexManifest.snapshot(spark, dest, Seq("vecs", "bands"))
   }
 
   /** VACUUM an IVF index: masked rows drop, the FROZEN centroid table
@@ -1202,24 +1254,26 @@ object Similarity {
     * of every surviving row stays valid by construction). */
   def ivfIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, idCol: String): Unit = {
-    IndexTombstones.mask(spark.read.parquet(src), idCol,
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, ""), idCol,
         IndexTombstones.siblingPath(src))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(dest)
     spark.read.parquet(centroidsPath(src)).coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(dest))
+    IndexManifest.snapshot(spark, dest, Seq(""))
   }
 
   /** VACUUM a PQ index: masked codes drop, the frozen codebook copies
     * verbatim. */
   def pqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String): Unit = {
-    IndexTombstones.mask(spark.read.parquet(src), "id",
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, ""), "id",
         IndexTombstones.siblingPath(src))
       .write.mode("overwrite").parquet(dest)
     spark.read.parquet(codebookPath(src)).coalesce(1)
       .write.mode("overwrite").parquet(codebookPath(dest))
+    IndexManifest.snapshot(spark, dest, Seq(""))
   }
 
   /** VACUUM an SQ8 index: masked codes drop, the frozen (min, max)
@@ -1227,10 +1281,11 @@ object Similarity {
     * stay bit-identical, so probes are exact across the vacuum). */
   def sq8IndexVacuum(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String): Unit = {
-    IndexTombstones.mask(spark.read.parquet(src), "id",
+    IndexTombstones.mask(IndexManifest.readTable(spark, src, ""), "id",
         IndexTombstones.siblingPath(src))
       .write.mode("overwrite").parquet(dest)
     spark.read.parquet(paramsPath(src)).coalesce(1)
       .write.mode("overwrite").parquet(paramsPath(dest))
+    IndexManifest.snapshot(spark, dest, Seq(""))
   }
 }

@@ -29,7 +29,12 @@ object Triangles {
   /** @return one row: n_nodes, n_edges, n_wedges (oriented),
     *         n_triangles */
   def triangleCount(pairs: DataFrame, aCol: String, bCol: String,
-      maxWedges: Long = 2000000000L): DataFrame = {
+      maxWedges: Long = -2L): DataFrame = {
+    // default (-2 sentinel) resolves through the unified budget
+    // namespace; an explicit param still wins for programmatic callers
+    val wedgeBudget =
+      if (maxWedges != -2L) maxWedges
+      else Budget.long(pairs.sparkSession, Budget.MaxWedges, 2000000000L)
     val edges = Dedup.materialize(pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
@@ -54,8 +59,8 @@ object Triangles {
     val guard = oriented.groupBy(col("lo")).agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("nw"))
       .head().getLong(0)
-    require(guard <= maxWedges,
-      s"triangleCount: $guard oriented wedges exceeds maxWedges=$maxWedges" +
+    require(guard <= wedgeBudget,
+      s"triangleCount: $guard oriented wedges exceeds maxWedges=$wedgeBudget" +
         " — raise the budget explicitly or pre-filter the pair graph")
     val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"),
         col("hiR").as("yR"))

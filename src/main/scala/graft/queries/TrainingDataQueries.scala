@@ -784,6 +784,8 @@ object TrainingDataQueries {
       Dedup.dupWindowStats(Tables.documents(s, d), "doc_id", "text", k = 8)),
     "window_trim" -> ((s, d) =>
       Dedup.dupWindowTrim(Tables.documents(s, d), "doc_id", "text", k = 8)),
+    "substring_trim" -> ((s, d) =>
+      Dedup.substringTrim(Tables.documents(s, d), "doc_id", "text", n = 6)),
     "doc_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     "ngram_lm" -> ((s, d) =>
@@ -930,6 +932,15 @@ object TrainingDataQueries {
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 5)
     }),
+    "contamination_multi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // the eval slice split into 3 planted benchmarks
+      Curation.contaminationReportMulti(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("bench", expr("(doc_id div 20) % 3")),
+        "doc_id", "text", "bench", n = 5)
+    }),
     "source_cap" -> ((s, d) =>
       Curation.sourceCap(
         Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -1014,6 +1025,36 @@ object TrainingDataQueries {
         |dup AS (SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
         |cov AS (SELECT DISTINCT doc_id, p - 1 AS pos
         |        FROM wins JOIN dup USING (s), unnest(range(i, i + 8)) t(p)),
+        |ret AS (SELECT wt.doc_id,
+        |          count(*) AS retained_words,
+        |          string_agg(wt.word, ' ' ORDER BY wt.pos) AS retained_text
+        |        FROM wt LEFT JOIN cov ON wt.doc_id = cov.doc_id AND wt.pos = cov.pos
+        |        WHERE cov.pos IS NULL GROUP BY 1)
+        |SELECT d.doc_id, len(w.ws) AS n_words,
+        | coalesce(r.retained_words, 0) AS retained_words,
+        | len(w.ws) - coalesce(r.retained_words, 0) AS covered_words,
+        | coalesce(r.retained_text, '') AS retained_text
+        |FROM documents d JOIN w USING (doc_id) LEFT JOIN ret r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // substring_trim: ExactSubstr semantics — a position starts a
+    // trimmed span iff its 6-gram has an occurrence strictly earlier
+    // in (doc_id, pos) order (row_number >= 2 ≡ Spark's
+    // struct != min(struct) since (doc,pos) is unique per gram row);
+    // coverage is the union of [s, s+6) over those starts, residual
+    // words re-joined in position order
+    "substring_trim" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |wt AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |       FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+        |grams AS (SELECT doc_id, i - 1 AS pos,
+        |            array_to_string(list_slice(ws, i, i + 5), ' ') AS g
+        |          FROM w, unnest(range(1, len(ws) - 4)) t(i) WHERE len(ws) >= 6),
+        |gr AS (SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |       FROM grams),
+        |cov AS (SELECT DISTINCT doc_id, p AS pos
+        |        FROM gr, unnest(range(pos, pos + 6)) t(p) WHERE rn >= 2),
         |ret AS (SELECT wt.doc_id,
         |          count(*) AS retained_words,
         |          string_agg(wt.word, ' ' ORDER BY wt.pos) AS retained_text
@@ -1795,6 +1836,32 @@ object TrainingDataQueries {
         | coalesce(h.n_shared_grams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
         |WHERE d.doc_id % 20 = 0 ORDER BY 1""".stripMargin,
+    // contamination_multi: per-benchmark rollup of the same hit join —
+    // three planted benchmarks ((doc_id // 20) % 3), integer-exact ppm
+    "contamination_multi" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id AS doc,
+        |         array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+        |e AS (SELECT doc_id, (doc_id // 20) % 3 AS bench FROM documents
+        |      WHERE doc_id % 20 = 0),
+        |hits AS (SELECT e.bench, es.doc AS eval_id, t.doc AS train_doc, es.s
+        |         FROM sh es JOIN e ON es.doc = e.doc_id
+        |           JOIN sh t ON es.s = t.s AND t.doc % 20 <> 0),
+        |agg AS (SELECT bench,
+        |          count(DISTINCT eval_id) AS n_contaminated,
+        |          count(DISTINCT train_doc) AS n_hit_train_docs,
+        |          count(DISTINCT s) AS n_shared_grams
+        |        FROM hits GROUP BY 1),
+        |ne AS (SELECT bench, count(*) AS n_eval_docs FROM e GROUP BY 1)
+        |SELECT ne.bench, ne.n_eval_docs,
+        | coalesce(a.n_contaminated, 0) AS n_contaminated,
+        | coalesce(a.n_hit_train_docs, 0) AS n_hit_train_docs,
+        | coalesce(a.n_shared_grams, 0) AS n_shared_grams,
+        | coalesce(a.n_contaminated, 0) * 1000000 // ne.n_eval_docs
+        |   AS contamination_ppm
+        |FROM ne LEFT JOIN agg a USING (bench) ORDER BY ne.bench""".stripMargin,
     "source_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY source

@@ -6,10 +6,12 @@ Documents/embeddings replicate verbatim -> 10-way duplicate groups, a
 deliberate stress for the dedup operators. Output: target/sf1/."""
 import duckdb, os, sys
 
-SRC = '/root/testdata/sf0.1'
+# args: [DST] [SRC] [COPIES] [OFF] — defaults reproduce the original
+# sf1 derivation; `gen_sf10.sh`-style use: target/sf10 target/sf1 10 100000000
+SRC = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.1'
 DST = sys.argv[1] if len(sys.argv) > 1 else 'target/sf1'
-OFF = 10_000_000
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
