@@ -59,13 +59,12 @@ object MediaProbe {
     // candidate volume via the guard's own arithmetic: Σ C(bucket, 2)
     // over (band, bucket) — computed from the probe's own signature
     // pass so the number is exactly what the self-join would face
-    val (candNarrow, candWide) = {
-      val cn = Multimodal.bandedCandidatePairs(m, bands = 4)
-      val cw = Multimodal.bandedCandidatePairs(m, bands = 8)
-      (cn, cw)
-    }
+    val candNarrow = Multimodal.bandedCandidatePairs(m, words = 4)
+    val candWide = Multimodal.bandedCandidatePairs(m, words = 8)
+    val candW32 = Multimodal.bandedCandidatePairs(m, words = 8, bandBits = 32)
     val (tNarrow, pNarrow) = timedPairs(() => Multimodal.nearDupMedia(m))
     val (tWide, pWide) = timedPairs(() => Multimodal.nearDupMediaWide(m))
+    val (tW32, pW32) = timedPairs(() => Multimodal.nearDupMediaW32(m))
 
     val json = Seq(
       "\"metric\":\"media_dedup_probe\"",
@@ -73,12 +72,16 @@ object MediaProbe {
       s""""n_assets":$nAssets""",
       s""""cand_pairs_narrow":$candNarrow""",
       s""""cand_pairs_wide":$candWide""",
+      s""""cand_pairs_w32":$candW32""",
       f""""cand_per_asset_narrow":${candNarrow.toDouble / nAssets}%.3f""",
       f""""cand_per_asset_wide":${candWide.toDouble / nAssets}%.3f""",
+      f""""cand_per_asset_w32":${candW32.toDouble / nAssets}%.3f""",
       f""""sec_narrow":$tNarrow%.2f""",
       f""""sec_wide":$tWide%.2f""",
+      f""""sec_w32":$tW32%.2f""",
       s""""result_pairs_narrow":$pNarrow""",
-      s""""result_pairs_wide":$pWide""")
+      s""""result_pairs_wide":$pWide""",
+      s""""result_pairs_w32":$pW32""")
     println("{" + json.mkString(",") + "}")
     spark.stop()
   }

@@ -185,7 +185,7 @@ object Multimodal {
    * (measured in MediaProbe, SURVEY §6).
    */
   def nearDupMedia(manifestDf: DataFrame, tau: Int = 3): DataFrame =
-    simhashNearDup(manifestDf, bands = 4, tau = tau, op = "mm_dedup_near")
+    simhashNearDup(manifestDf, words = 4, tau = tau, op = "mm_dedup_near")
 
   /** 128-bit wide-fingerprint variant: 8 bands of 16 bits, pigeonhole-
     * complete for τ <= 7. Same oracle-reproducible md5 bit source
@@ -195,14 +195,25 @@ object Multimodal {
     * candidate volume grows near-linearly where the 64-bit form has
     * gone quadratic (MediaProbe measures the growth sf0.1 → sf10). */
   def nearDupMediaWide(manifestDf: DataFrame, tau: Int = 7): DataFrame =
-    simhashNearDup(manifestDf, bands = 8, tau = tau, op = "mm_dedup_near_wide")
+    simhashNearDup(manifestDf, words = 8, tau = tau, op = "mm_dedup_near_wide")
+
+  /** SPARSE-bucket geometry: the same 128-bit fingerprint cut into 4
+    * bands of 32 BITS, pigeonhole-complete for τ <= 3. This — not a
+    * longer fingerprint at the same band width — is the candidate-
+    * density cure: per-band collisions go from ~n²/2¹⁶ to ~n²/2³², so
+    * random co-bucketing is negligible until ~10⁵ assets per salt
+    * domain and candidate volume tracks the TRUE near-dup count
+    * (MediaProbe measures all three geometries side by side, §6). */
+  def nearDupMediaW32(manifestDf: DataFrame, tau: Int = 3): DataFrame =
+    simhashNearDup(manifestDf, words = 8, tau = tau, op = "mm_dedup_near_w32",
+      bandBits = 32)
 
   /** Materialized packed SimHash signatures: (id, c_0[, c_1]) — 4
-    * 16-bit bands per long. Shared by the dedup path and MediaProbe's
-    * candidate-volume measurement. */
+    * 16-bit md5 words per long. Shared by the dedup path and
+    * MediaProbe's candidate-volume measurement. */
   private def simhashSig(manifestDf: DataFrame, bands: Int): DataFrame = {
     val bitsPerBand = 16
-    require(bands == 4 || bands == 8, "fingerprint is 64-bit (4 bands) or 128-bit (8)")
+    require(bands == 4 || bands == 8, "fingerprint is 64-bit (4 words) or 128-bit (8)")
     // per-gram feature bits: md5 hex chars = 16 bits per 4 chars (one
     // md5 per gram, substring'd — never several)
     val grams = manifestDf
@@ -233,33 +244,41 @@ object Multimodal {
         .reduce(_ + _)).reduce(_ + _).as(s"c_$k")): _*))
   }
 
-  private def bandedOf(sig: DataFrame, nCodes: Int): DataFrame = {
-    val word = (k: Int, i: Int) =>
-      shiftright(col(s"c_$k"), 16 * i).bitwiseAND(lit(0xffffL))
+  /** One row per (id, band, bucket) plus the packed codes: bands are
+    * `bandBits`-wide segments of the packed longs (16-bit = one md5
+    * word per band; 32-bit = two — the sparse-bucket geometry). */
+  private def bandedOf(sig: DataFrame, nCodes: Int, bandBits: Int): DataFrame = {
+    val perCode = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val seg = (k: Int, i: Int) =>
+      shiftright(col(s"c_$k"), bandBits * i).bitwiseAND(lit(mask))
     sig.select(col("id") +: (0 until nCodes).map(k => col(s"c_$k")) :+
-      posexplode(array((for (k <- 0 until nCodes; i <- 0 until 4)
-        yield word(k, i)): _*)).as(Seq("band", "bucket")): _*)
+      posexplode(array((for (k <- 0 until nCodes; i <- 0 until perCode)
+        yield seg(k, i)): _*)).as(Seq("band", "bucket")): _*)
   }
 
   /** The eager guard's own candidate arithmetic, exposed for the
     * MediaProbe measurement: Σ C(bucket size, 2) over (band, bucket)
     * at the given fingerprint geometry — exactly the pair volume the
     * band self-join would face. */
-  def bandedCandidatePairs(manifestDf: DataFrame, bands: Int): Long =
-    bandedOf(simhashSig(manifestDf, bands), bands / 4)
+  def bandedCandidatePairs(manifestDf: DataFrame, words: Int,
+      bandBits: Int = 16): Long =
+    bandedOf(simhashSig(manifestDf, words), words / 4, bandBits)
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .agg(coalesce(sum(expr("bsz * (bsz - 1) div 2")), lit(0L)))
       .head().getLong(0)
 
-  private def simhashNearDup(manifestDf: DataFrame, bands: Int, tau: Int,
-      op: String): DataFrame = {
-    val bitsPerBand = 16
+  private def simhashNearDup(manifestDf: DataFrame, words: Int, tau: Int,
+      op: String, bandBits: Int = 16): DataFrame = {
+    require(bandBits == 16 || bandBits == 32, "bands are 16- or 32-bit")
+    val bands = words * 16 / bandBits
     require(tau <= bands - 1,
       s"$op: pigeonhole completeness needs tau <= bands-1 (= ${bands - 1}), got $tau")
-    val nCodes = bands / 4
-    val sig = simhashSig(manifestDf, bands)
-    val banded = bandedOf(sig, nCodes)
+    val nCodes = words / 4
+    val perCode = 64 / bandBits
+    val sig = simhashSig(manifestDf, words)
+    val banded = bandedOf(sig, nCodes, bandBits)
     val spark = manifestDf.sparkSession
     // EAGER budget guard — priced off one narrow aggregate over the
     // materialized signatures, before the quadratic join is planned
@@ -272,9 +291,10 @@ object Multimodal {
         .head().getLong(0)
       require(candPairs <= budget,
         s"$op: $candPairs banded candidate pairs exceed " +
-          s"spark.graft.budget.bandCandPairs=$budget — use the wide " +
-          "(128-bit) fingerprint, pre-split by exact content hash, or " +
-          "raise the budget on a cluster sized for the join")
+          s"spark.graft.budget.bandCandPairs=$budget — use the sparse " +
+          "32-bit-band geometry (nearDupMediaW32), pre-split by exact " +
+          "content hash, or raise the budget on a cluster sized for " +
+          "the join")
     }
     val cap = Budget.int(spark, Budget.MaxBucketRows, 1024)
     val withG = banded.join(
@@ -292,22 +312,22 @@ object Multimodal {
       .repartition(par, col("band"), col("bucket"), col("salt"))
     val build = withG.withColumn("salt",
       explode(sequence(lit(0), col("g") - 1)))
-    // first-colliding-band: fold each 16-bit xor segment onto its low
-    // bit (SWAR), invert+mask → one set bit per agreeing band; the
-    // pair is emitted only where a.band is the LOWEST such band
-    val lsbMask = (0 until 4).map(i => 1L << (16 * i)).reduce(_ | _)
+    // first-colliding-band: fold each bandBits-wide xor segment onto
+    // its low bit (SWAR), invert+mask → one set bit per agreeing band;
+    // the pair is emitted only where a.band is the LOWEST such band
+    val lsbMask = (0 until perCode).map(i => 1L << (bandBits * i)).reduce(_ | _)
     def collidingMask(k: Int): Column = {
       val x = col(s"a.c_$k").bitwiseXOR(col(s"b.c_$k"))
-      val folded = (0 until bitsPerBand).map(j => shiftright(x, j))
+      val folded = (0 until bandBits).map(j => shiftright(x, j))
         .reduce(_ bitwiseOR _).bitwiseAND(lit(lsbMask))
       bitwise_not(folded).bitwiseAND(lit(lsbMask))
     }
     def lowestRank(m: Column): Column =
-      (bit_count(m.bitwiseAND(-m) - lit(1L)) / lit(16)).cast("int")
+      (bit_count(m.bitwiseAND(-m) - lit(1L)) / lit(bandBits)).cast("int")
     val firstBand =
       if (nCodes == 1) lowestRank(collidingMask(0))
       else when(collidingMask(0) =!= 0L, lowestRank(collidingMask(0)))
-        .otherwise(lit(4) + lowestRank(collidingMask(1)))
+        .otherwise(lit(perCode) + lowestRank(collidingMask(1)))
     val hamming = (0 until nCodes).map(k =>
         bit_count(col(s"a.c_$k").bitwiseXOR(col(s"b.c_$k"))))
       .reduce(_ + _).cast("long")
@@ -326,6 +346,8 @@ object Multimodal {
       nearDupMedia(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_dedup_near_wide" -> ((s, d) =>
       nearDupMediaWide(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
+    "mm_dedup_near_w32" -> ((s, d) =>
+      nearDupMediaW32(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_resize" -> ((s, d) =>
       resizePlan(manifest(graft.Tables.documents(s, d), "doc_id", "text"))),
     "mm_frames" -> ((s, d) =>
@@ -416,6 +438,36 @@ object Multimodal {
         |        JOIN bv y ON y.asset_id = id2 AND y.b = x.b
         |      GROUP BY 1, 2)
         |SELECT id1, id2, hamming FROM d WHERE hamming <= 7
+        |ORDER BY id1, id2""".stripMargin,
+    // sparse-geometry sibling: same 128-bit fingerprint, 4 bands of
+    // 32 bits (two adjacent 16-bit words, low word first — matching
+    // the packed-long layout), tau = 3
+    "mm_dedup_near_w32" ->
+      """WITH p AS (SELECT doc_id AS asset_id, text AS pl FROM documents),
+        |g AS (SELECT asset_id, substr(pl, i, 3) AS ng
+        |      FROM p, unnest(range(1, greatest(length(pl) - 2, 1) + 1)) t(i)),
+        |hx AS (SELECT asset_id, md5(ng) AS hex FROM g),
+        |w AS (SELECT asset_id, b, ('0x' || substr(hex, b * 4 + 1, 4))::BIGINT AS wv
+        |      FROM hx, unnest(range(0, 8)) tb(b)),
+        |s AS (SELECT asset_id, b, j,
+        |        sum(CASE WHEN (wv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sv
+        |      FROM w, unnest(range(0, 16)) tj(j) GROUP BY 1, 2, 3),
+        |bv AS (SELECT asset_id, b,
+        |        CAST(sum(CASE WHEN sv >= 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS bvv
+        |       FROM s GROUP BY 1, 2),
+        |b32 AS (SELECT lo.asset_id, lo.b // 2 AS b2,
+        |          lo.bvv + hi.bvv * 65536 AS v32
+        |        FROM bv lo JOIN bv hi ON lo.asset_id = hi.asset_id
+        |          AND hi.b = lo.b + 1 WHERE lo.b % 2 = 0),
+        |cand AS (SELECT DISTINCT a.asset_id AS id1, c.asset_id AS id2
+        |         FROM b32 a JOIN b32 c ON a.b2 = c.b2 AND a.v32 = c.v32
+        |           AND a.asset_id < c.asset_id),
+        |d AS (SELECT id1, id2,
+        |        CAST(sum(bit_count(xor(x.bvv, y.bvv))) AS BIGINT) AS hamming
+        |      FROM cand JOIN bv x ON x.asset_id = id1
+        |        JOIN bv y ON y.asset_id = id2 AND y.b = x.b
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM d WHERE hamming <= 3
         |ORDER BY id1, id2""".stripMargin,
     // The decoder stub runs as imperative JVM code inside mapPartitions
     // — so its oracle re-implements the SAME byte-level spec in pure

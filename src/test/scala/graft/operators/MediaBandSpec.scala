@@ -70,19 +70,27 @@ class MediaBandSpec extends AnyFunSuite {
     clusters ++ singles
   }
 
-  private def run(docs: Seq[(Long, String)], wide: Boolean): Set[(Long, Long, Long)] = {
+  private def run(docs: Seq[(Long, String)], geom: String): Set[(Long, Long, Long)] = {
     import spark.implicits._
     val m = Multimodal.manifest(docs.toDF("doc_id", "text"), "doc_id", "text")
-    val df = if (wide) Multimodal.nearDupMediaWide(m) else Multimodal.nearDupMedia(m)
+    val df = geom match {
+      case "narrow" => Multimodal.nearDupMedia(m)
+      case "wide"   => Multimodal.nearDupMediaWide(m)
+      case "w32"    => Multimodal.nearDupMediaW32(m)
+    }
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
   test("narrow (64-bit) pair set == brute-force all-pairs Hamming <= 3") {
-    assert(run(fixture, wide = false) == brutePairs(fixture, bands = 4, tau = 3))
+    assert(run(fixture, "narrow") == brutePairs(fixture, bands = 4, tau = 3))
   }
 
   test("wide (128-bit) pair set == brute-force all-pairs Hamming <= 7") {
-    assert(run(fixture, wide = true) == brutePairs(fixture, bands = 8, tau = 7))
+    assert(run(fixture, "wide") == brutePairs(fixture, bands = 8, tau = 7))
+  }
+
+  test("sparse 32-bit-band geometry == brute-force 128-bit Hamming <= 3") {
+    assert(run(fixture, "w32") == brutePairs(fixture, bands = 8, tau = 3))
   }
 
   test("each pair emitted exactly once — no distinct stage hides doubles") {
@@ -95,16 +103,16 @@ class MediaBandSpec extends AnyFunSuite {
   }
 
   test("dense-bucket salting changes the plan, never the pair set") {
-    val base = run(fixture, wide = false)
+    val base = run(fixture, "narrow")
     spark.conf.set("spark.graft.budget.maxBucketRows", "2")
-    try assert(run(fixture, wide = false) == base)
+    try assert(run(fixture, "narrow") == base)
     finally spark.conf.unset("spark.graft.budget.maxBucketRows")
   }
 
   test("eager candidate budget refuses over-budget corpora by name") {
     spark.conf.set("spark.graft.budget.bandCandPairs", "5")
     try {
-      val e = intercept[IllegalArgumentException](run(fixture, wide = false))
+      val e = intercept[IllegalArgumentException](run(fixture, "narrow"))
       assert(e.getMessage.contains("mm_dedup_near"))
       assert(e.getMessage.contains("bandCandPairs"))
     } finally spark.conf.unset("spark.graft.budget.bandCandPairs")
