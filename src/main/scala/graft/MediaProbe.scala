@@ -62,9 +62,18 @@ object MediaProbe {
     val candNarrow = Multimodal.bandedCandidatePairs(m, words = 4)
     val candWide = Multimodal.bandedCandidatePairs(m, words = 8)
     val candW32 = Multimodal.bandedCandidatePairs(m, words = 8, bandBits = 32)
-    val (tNarrow, pNarrow) = timedPairs(() => Multimodal.nearDupMedia(m))
-    val (tWide, pWide) = timedPairs(() => Multimodal.nearDupMediaWide(m))
-    val (tW32, pW32) = timedPairs(() => Multimodal.nearDupMediaW32(m))
+    // End-to-end runs honor a candidate cap (SPARK_GRAFT_CAND_CAP,
+    // default 200M): a geometry whose measured pair volume exceeds it
+    // reports sec = -1 — the same refusal the registry guard makes,
+    // here derived from the probe's own measurement so an sf10 run
+    // still prices the over-budget geometry without executing its join.
+    val candCap = sys.env.getOrElse("SPARK_GRAFT_CAND_CAP", "200000000").toLong
+    def gated(cand: Long, mk: () => org.apache.spark.sql.DataFrame)
+        : (Double, Long) =
+      if (cand > candCap) (-1.0, -1L) else timedPairs(mk)
+    val (tNarrow, pNarrow) = gated(candNarrow, () => Multimodal.nearDupMedia(m))
+    val (tWide, pWide) = gated(candWide, () => Multimodal.nearDupMediaWide(m))
+    val (tW32, pW32) = gated(candW32, () => Multimodal.nearDupMediaW32(m))
 
     val json = Seq(
       "\"metric\":\"media_dedup_probe\"",
