@@ -15,21 +15,40 @@ import org.apache.spark.sql.functions._
  * The checksum must be per-row deterministic and ADDITIVE (sums
  * commute), so a plain arithmetic fold over the row's fields works and
  * any engine can recompute it — the DuckDB oracle mirrors it in SQL.
+ *
+ * The bucket sum accumulates in DECIMAL(38,0) and is reduced
+ * `pmod 2⁶¹−1` into the published long: a raw long sum of per-row
+ * checksums OVERFLOWS once buckets hold ~10⁴+ rows of ~10¹⁵ row
+ * checksums (found by the sf10 sweep — 234k-row buckets at
+ * production-sized keys threw ARITHMETIC_OVERFLOW under ANSI).
+ * Decimal partial aggregation is map-side combinable like any sum,
+ * the 128-bit accumulator holds ~10²³ row-checksums per bucket, and
+ * the Mersenne-prime modulus keeps the reduction additive and
+ * portable: any engine that sums exactly (DuckDB HUGEINT, Spark
+ * decimal) lands on the same residue for nonnegative checksums.
  */
 object Reconcile {
 
+  /** 2⁶¹ − 1 (Mersenne prime): checksum sums are published mod this. */
+  val ChecksumMod = 2305843009213693951L
+
   /**
-   * Per-bucket (row count, checksum sum) for one snapshot.
+   * Per-bucket (row count, checksum sum mod 2⁶¹−1) for one snapshot.
    *
    * @param df snapshot
    * @param keyCol long key column; `key % buckets` is the bucket
-   * @param checksum per-row long checksum expression (engine-portable
-   *                 arithmetic, e.g. key * prime + value-in-cents)
+   * @param checksum per-row nonnegative checksum expression
+   *                 (engine-portable arithmetic, e.g.
+   *                 key * prime + value-in-cents; cast to decimal
+   *                 inside the expression if a single row can exceed
+   *                 long range)
    */
   def bucketSummary(df: DataFrame, keyCol: String, checksum: Column,
       buckets: Int): DataFrame =
     df.groupBy(pmod(col(keyCol), lit(buckets.toLong)).as("bucket"))
-      .agg(count(lit(1)).as("n"), sum(checksum).as("checksum"))
+      .agg(count(lit(1)).as("n"),
+        pmod(sum(checksum.cast("decimal(38,0)")), lit(ChecksumMod))
+          .cast("long").as("checksum"))
 
   /**
    * Buckets where two snapshots disagree, with both sides' counts and

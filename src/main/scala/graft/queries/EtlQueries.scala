@@ -653,10 +653,10 @@ object EtlQueries {
         |    cents + CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END AS cents
         |  FROM b WHERE o_orderkey % 97 <> 0),
         |sb AS (SELECT o_orderkey % 64 AS bucket, count(*) AS n,
-        |         CAST(sum(o_orderkey * 1000003 + cents) AS BIGINT) AS checksum
+        |         CAST(sum(o_orderkey * 1000003 + cents) % 2305843009213693951 AS BIGINT) AS checksum
         |       FROM b GROUP BY 1),
         |sc AS (SELECT o_orderkey % 64 AS bucket, count(*) AS n,
-        |         CAST(sum(o_orderkey * 1000003 + cents) AS BIGINT) AS checksum
+        |         CAST(sum(o_orderkey * 1000003 + cents) % 2305843009213693951 AS BIGINT) AS checksum
         |       FROM c GROUP BY 1)
         |SELECT sb.bucket,
         |  sb.n AS base_n, coalesce(sc.n, 0) AS cur_n,

@@ -36,13 +36,17 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** TPC-H Q3 shape: 3-way join, grouped agg, top-k. Customer dim broadcast. */
+  /** TPC-H Q3 shape: 3-way join, grouped agg, top-k. Customer is a
+    * SCALING dimension (it grows with SF — multi-TB at 100 TB), so it
+    * carries no broadcast hint: AQE broadcasts it while its filtered
+    * size is under threshold and shuffles it beyond (the sf10 sweep
+    * measured forced scaling-dim broadcasts blowing up 30× on q5). */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
     val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -52,12 +56,18 @@ object RelationalQueries {
 
   /** TPC-H Q5 shape: star join over all six tables, region-filtered. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val dims = broadcast(
-      Tables.supplier(spark, dir)
-        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
-        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
-          col("n_regionkey") === col("r_regionkey")))
-    val cust = broadcast(Tables.customer(spark, dir))
+    // broadcast hints ONLY on the fixed-cardinality tables (nation = 25
+    // rows, region = 5 — constants at every SF). supplier and customer
+    // SCALE with the corpus, so their joins are left to AQE: broadcast
+    // under threshold, shuffle beyond. The r10 sf10 sweep measured the
+    // previous forced customer/supplier broadcasts at 30× the linear
+    // scaling cost (34s vs ~1s expected) — at 100 TB they'd be fatal.
+    val dims = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     Tables.lineitem(spark, dir)
@@ -72,7 +82,7 @@ object RelationalQueries {
   /** Window rank: top-3 parts by revenue within each brand. */
   def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("part_revenue"))
     val w = Window.partitionBy(col("p_brand"))
@@ -97,7 +107,7 @@ object RelationalQueries {
   /** ROLLUP aggregation: order value by nation × order-year with subtotals. */
   def rollupNationYear(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("o_year", year(col("o_orderdate")))
     ord.rollup(col("n_name"), col("o_year"))
@@ -552,13 +562,14 @@ object RelationalQueries {
    * One-pass data-quality audit over a fact⋈dimension pair: row count,
    * FK orphans, null/non-positive measures, duplicate keys, and
    * out-of-domain dates, all as count-CASE aggregates on a single left
-   * join (dimension broadcast; count not sum — see profile_table note).
+   * join (customer scales with SF so AQE owns the join strategy;
+   * count not sum — see profile_table note).
    * The fixed date bound keeps the check deterministic across runs.
    */
   def dqCheck(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("c_custkey").isNull, lit(1))).as("n_orphans"),
         count(when(col("o_totalprice").isNull, lit(1))).as("n_null_price"),

@@ -70,6 +70,27 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((5L, 12L, 11L, "rows"), (7L, 12L, 12L, "content")))
   }
 
+  test("reconcile checksums survive bucket sums beyond long range") {
+    // 10k rows of ~4.6e18 checksums in ONE bucket: the raw long sum
+    // (~4.6e22) is 5000× past Long.MaxValue — the sf10 failure shape.
+    // The decimal accumulator + pmod 2^61-1 must neither throw under
+    // ANSI nor wrap: equal snapshots diff empty, one drifted row is
+    // still detected as content drift.
+    val big = lit(Long.MaxValue / 2)
+    val base = (0L until 10000L).map(k => (k, 0L)).toDF("k", "v")
+    val checksum = big + col("v")
+    assert(Reconcile.diff(base, base, "k", checksum, 1).count() === 0)
+    val drifted = base.withColumn("v",
+      when(col("k") === 42L, lit(1L)).otherwise(col("v")))
+    val got = Reconcile.diff(base, drifted, "k", checksum, 1).collect()
+    assert(got.length == 1 && got.head.getString(5) == "content")
+    // and the published residues match an independent BigInt replay
+    val m = BigInt(Reconcile.ChecksumMod)
+    val expect = ((BigInt(Long.MaxValue / 2) * 10000) mod m).toLong
+    assert(got.head.getLong(3) == expect)
+    assert(got.head.getLong(4) == ((BigInt(Long.MaxValue / 2) * 10000 + 1) mod m).toLong)
+  }
+
   test("decontaminateBloom is bit-identical to exact decontaminate") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val train = docs.filter(col("doc_id") % 20 =!= 0)

@@ -133,4 +133,39 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(ts == again)
   }
+
+  test("langId's codegen'd regex hits == interpreted filter/isin hits") {
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: stopword hugging punctuation (NOT a token
+    // match under split-on-whitespace), stopword as a substring,
+    // repeated stopwords, multi-space runs, leading/trailing blanks,
+    // empty and whitespace-only docs, mixed case
+    val docs = Seq(
+      (1L, "The cat sat on the mat and the dog"),
+      (2L, "the, the. the; the"),
+      (3L, "them theory breathe a an a  a"),
+      (4L, "  to in is it   "),
+      (5L, ""),
+      (6L, "   "),
+      (7L, "der die das und la le el y es de"),
+      (8L, "a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent interpreted replay of the original formulation
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    def ih(stop: Seq[String]) =
+      size(filter(ws, w => w.isin(stop: _*))).cast("long")
+    val exp = docs.select(col("doc_id"), ih(TextAnalysis.EnStop),
+        ih(TextAnalysis.DeStop), ih(TextAnalysis.FrStop), ih(TextAnalysis.EsStop))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    // and the doc-2/3 traps held: punctuation-adjacent and substring
+    // occurrences never count as token hits (doc 2's only bare token
+    // is the final "the"; the three punctuation-glued ones don't count)
+    assert(got(2L) == ((1L, 0L, 0L, 0L)))
+    assert(got(3L)._1 == 3L) // exactly the three bare "a" tokens
+  }
 }
