@@ -64,10 +64,23 @@ object Dedup {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dirPath) if dirPath.nonEmpty =>
-        // substring match: setCheckpointDir stores a scheme-qualified
-        // `<dir>/<UUID>` child, so equality would never hold and every
-        // loop boundary would mint a fresh UUID subdirectory
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dirPath)))
+        // setCheckpointDir stores a scheme-qualified `<dir>/<UUID>`
+        // child, so compare the PARENT of the active dir against the
+        // scheme-qualified configured path — plain equality would
+        // never hold (every loop boundary would mint a fresh UUID
+        // subdirectory), and the old substring test matched any active
+        // dir whose path merely CONTAINED the configured one (conf
+        // `/ckpt` vs stale `/ckpt-old/<uuid>`), leaving checkpoints in
+        // the wrong directory
+        val conf = spark.sessionState.newHadoopConf()
+        val wanted = {
+          val p = new org.apache.hadoop.fs.Path(dirPath)
+          p.getFileSystem(conf).makeQualified(p).toString.stripSuffix("/")
+        }
+        val activeParent = spark.sparkContext.getCheckpointDir
+          .map(d => new org.apache.hadoop.fs.Path(d).getParent.toString
+            .stripSuffix("/"))
+        if (!activeParent.contains(wanted))
           spark.sparkContext.setCheckpointDir(dirPath)
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)

@@ -81,31 +81,81 @@ object IndexManifest {
   }
 
   /** Commit `currentFiles ++ added` as the next version; returns it.
-    * Retries (bounded) when a concurrent committer won the version. */
-  def commit(spark: SparkSession, root: String, added: Seq[String]): Long = {
+    *
+    * FENCING (r11): the old fence was check-then-act
+    * (`!fs.exists(target) && fs.rename(tmp, target)`) — on a local FS
+    * (and most object stores) rename OVERWRITES, so two concurrent
+    * committers could both "win" one version and silently drop one
+    * commit's files from the manifest. The claim is now
+    * `fs.create(v<seq>.claim, overwrite=false)` — atomic
+    * create-if-absent on both local FS and HDFS — and only the claim
+    * winner renames its content into `v<seq>.txt` (readers only ever
+    * see `.txt`, which appears complete-or-not-at-all via rename). A
+    * loser waits for the winner's `.txt` to land, then retries on the
+    * new head, so its files are re-added on top of the winner's list
+    * instead of clobbering it. A claim whose `.txt` never appears
+    * (claimer crashed mid-flip) fails the retry loop LOUDLY, naming
+    * the stale claim file — never a silent drop. */
+  def commit(spark: SparkSession, root: String, added: Seq[String]): Long =
+    advance(spark, root, _ ++ added, "commit")
+
+  /** The shared claim-then-rename protocol behind [[commit]] and
+    * [[replace]]: `nextFiles` maps the head version's file list to the
+    * next version's. */
+  private def advance(spark: SparkSession, root: String,
+      nextFiles: Seq[String] => Seq[String], op: String): Long = {
     val fs = fsOf(spark, root)
     val dir = new Path(manifestDir(root))
     fs.mkdirs(dir)
     var attempt = 0
-    while (true) {
+    var lastClaim: Path = null
+    while (attempt < 20) {
       val (prev, files) = read(spark, root).getOrElse((-1L, Seq.empty))
       val next = prev + 1
       val target = new Path(dir, f"v$next%019d.txt")
-      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(((files ++ added).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (won) return next
-      fs.delete(tmp, false)
+      val claim = new Path(dir, f".v$next%019d.claim")
+      lastClaim = claim
+      val claimed =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write((nextFiles(files).mkString("\n") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        require(fs.rename(tmp, target),
+          s"IndexManifest.$op: rename to $target failed after claim")
+        fs.delete(claim, false)
+        return next
+      }
+      // lost the claim: wait for the winner's version file to appear
+      // so the retry builds on TOP of it (bounded — a crashed claimer
+      // must surface as an error, not an infinite spin)
+      var waits = 0
+      while (!fs.exists(target) && waits < 50) { Thread.sleep(100); waits += 1 }
       attempt += 1
-      require(attempt < 20,
-        s"IndexManifest.commit: lost the version race $attempt times at " +
-          s"$root — is a runaway committer loop holding the index?")
     }
-    -1L // unreachable
+    throw new IllegalStateException(
+      s"IndexManifest.$op: could not claim a version after $attempt " +
+        s"attempts at $root — if no committer is live, a crashed commit " +
+        s"left a stale claim file ($lastClaim): remove it and retry")
   }
+
+  /**
+   * Commit `files` as the next version, REPLACING the previous file
+   * list instead of appending to it — the publish primitive for
+   * whole-snapshot flips (stream_cdc's versioned state snapshots,
+   * vacuum/compact destinations): the new version names only the new
+   * snapshot's files, readers resolve the head atomically through the
+   * same claim+rename protocol as [[commit]], and the superseded
+   * version's files become [[orphans]] for a later sweep. Unlike
+   * [[snapshot]]'s old delete-then-recommit shape there is NO window
+   * where the manifest is absent (a reader during that window fell
+   * back to raw directory listing — mixed versions).
+   */
+  def replace(spark: SparkSession, root: String, files: Seq[String]): Long =
+    advance(spark, root, _ => files, "replace")
 
   /** Recursive data files under root/subdir, root-relative, hidden
     * (`_`/`.`) names skipped — Spark's own visibility rule. */
@@ -134,13 +184,12 @@ object IndexManifest {
     * committed version — for overwrite builds (v0) and for external
     * rewrites (vacuum/compact destinations). */
   def snapshot(spark: SparkSession, root: String,
-      subdirs: Seq[String]): Long = {
-    // a snapshot REPLACES the file list: clear history first so commit
-    // starts from empty rather than appending to a stale version
-    val fs = fsOf(spark, root)
-    fs.delete(new Path(manifestDir(root)), true)
-    commit(spark, root, subdirs.flatMap(listDataFiles(spark, root, _)))
-  }
+      subdirs: Seq[String]): Long =
+    // REPLACE the file list in one atomic version flip — the pre-r11
+    // shape (delete manifest history, then re-commit) left a window
+    // where no manifest existed and readers fell back to raw directory
+    // listing, seeing mixed committed/uncommitted state
+    replace(spark, root, subdirs.flatMap(listDataFiles(spark, root, _)))
 
   /**
    * Open `root/subdir` through the manifest when one exists — only
@@ -159,7 +208,27 @@ object IndexManifest {
         // IVF/PQ/SQ8 layouts; every committed file belongs to it
         val mine = files.filter(f => subdir.isEmpty || f.startsWith(subdir + "/"))
           .map(root.stripSuffix("/") + "/" + _)
-        if (mine.isEmpty) spark.read.parquet(dir)
+        if (mine.isEmpty) {
+          // A manifest exists but lists NO files for this table: the
+          // committed state IS empty. Falling back to a raw directory
+          // listing here would leak a crashed append's
+          // promoted-but-uncommitted files to probes — the exact
+          // invariant the manifest exists to hold. Use any live files
+          // footer-only for the schema (lit(false) constant-folds the
+          // scan away) and return zero rows; with no live files either
+          // there is no schema to honor, so fail loudly rather than
+          // guess one.
+          val live = listDataFiles(spark, root, subdir)
+          if (live.nonEmpty)
+            spark.read.option("basePath", dir)
+              .parquet(live.map(root.stripSuffix("/") + "/" + _): _*)
+              .where(org.apache.spark.sql.functions.lit(false))
+          else throw new IllegalStateException(
+            s"IndexManifest.readTable: manifest at $root commits zero " +
+              s"files for '$subdir' and no data files exist to infer a " +
+              s"schema from — the committed table is empty; supply the " +
+              s"schema at the call site if an empty frame is expected")
+        }
         else spark.read.option("basePath", dir).parquet(mine: _*)
       case None => spark.read.parquet(dir)
     }

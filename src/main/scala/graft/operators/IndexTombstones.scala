@@ -37,10 +37,40 @@ object IndexTombstones {
     * long cast here would null out string ids under non-ANSI and make
     * the delete a silent no-op). Distinct within the batch
     * (re-deleting an id is idempotent semantically, and the table
-    * stays delete-history-sized, compacted at vacuum). */
-  def delete(ids: DataFrame, idCol: String, tombstonesPath: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode(SaveMode.Append).parquet(tombstonesPath)
+    * stays delete-history-sized, compacted at vacuum).
+    *
+    * When a tombstone table already exists, the batch is CAST to the
+    * table's id type before appending: a pre-r10 table (always written
+    * as long) plus a native-typed batch would otherwise put
+    * mixed-type parquet files under one path and break every
+    * subsequent read with a schema-conversion error. A cast that can
+    * lose information (e.g. string ids into a legacy long table)
+    * fails loudly instead — the documented recovery is the owner's
+    * vacuum pass, which rewrites the table in the native type. */
+  def delete(ids: DataFrame, idCol: String, tombstonesPath: String): Unit = {
+    val batch = ids.select(col(idCol).as("id")).distinct()
+    val aligned = read(ids.sparkSession, tombstonesPath) match {
+      case Some(existing) =>
+        val want = existing.schema("id").dataType
+        val have = batch.schema("id").dataType
+        if (want == have) batch
+        else {
+          val cast = batch.select(col("id").cast(want).as("id"))
+          // a cast that nulls out any non-null id is a silent-no-op
+          // delete — refuse it (delete batches are small; the counts
+          // are cheap)
+          require(cast.filter(col("id").isNull).count() ==
+              batch.filter(col("id").isNull).count(),
+            s"IndexTombstones.delete: batch id type $have does not cast " +
+              s"losslessly to the existing tombstone table's $want at " +
+              s"$tombstonesPath — run the index owner's vacuum to rewrite " +
+              s"the table in the native id type, then re-issue the delete")
+          cast
+        }
+      case None => batch
+    }
+    aligned.write.mode(SaveMode.Append).parquet(tombstonesPath)
+  }
 
   /** The tombstone ids if any delete has landed, else None — a missing
     * directory is the common never-deleted case and must not cost the

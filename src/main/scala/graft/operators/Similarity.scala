@@ -824,6 +824,194 @@ object Similarity {
       .limit(k)
   }
 
+  /** The persisted PQ codebook, flattened to the [sub][centroid][dim]
+    * layout the encode/ADC expressions consume, with the caller's
+    * (m, ksub) validated against the build's. Returns (codebook,
+    * subDim). */
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Int, ksub: Int): (Array[Double], Int) = {
+    val cb = spark.read.parquet(codebookPath(path)).collect()
+    val subDim = cb.map(_.getInt(2)).max + 1
+    requireCodebookShape(cb, m, ksub)
+    val codebook = new Array[Double](m * ksub * subDim)
+    cb.foreach { r =>
+      codebook((r.getInt(0) * ksub + r.getInt(1)) * subDim + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    (codebook, subDim)
+  }
+
+  /** The query's per-(subspace, centroid) partial inner products — the
+    * ADC lookup table, m·ksub doubles computed driver-side. */
+  private def pqLut(qu: Array[Double], codebook: Array[Double],
+      m: Int, ksub: Int, subDim: Int): Array[Double] = {
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          d += qu(s * subDim + i) * codebook((s * ksub + c) * subDim + i)
+          i += 1
+        }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /**
+   * IVF-PQ composed persisted index — the production ANN shape (the
+   * FAISS `IVF<n>,PQ<m>` family): the IVF coarse quantizer prunes the
+   * scan to `nProbe` cluster DIRECTORIES at file-listing time, and
+   * inside those directories the scan reads only the 8-byte PQ code
+   * per vector — both cuts in ONE probe. At 100 TB of raw embeddings
+   * that composes a ~`nProbe/nCentroids` partition prune with the
+   * ~32× code-vs-vector byte cut; the plain `ivfIndexWrite` gets only
+   * the first, `pqIndexWrite` only the second. Codes are non-residual
+   * (the unit vector is encoded directly, not its offset from the
+   * cluster centroid), which keeps ONE query LUT valid across every
+   * probed cluster — one scan, one ADC expression; residual encoding
+   * would buy finer quantization at the cost of a per-cluster LUT and
+   * is the documented upgrade path. Exact re-rank on the top
+   * `k·refine` fetched vectors bounds the approximation exactly as in
+   * `pqAnn`. Layout: `(id, code)` parquet partitioned by `cluster`,
+   * centroid matrix at `<path>_centroids`, codebook at
+   * `<path>_codebook`, manifest-committed like every index family.
+   */
+  def ivfpqIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nCentroids: Int = 16, m: Int = 16,
+      ksub: Int = 16, trainN: Int = 2048, seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    // coarse quantizer: fit ONCE at build time on the raw vectors —
+    // the same model `ivfIndexWrite` persists, so the two families'
+    // cluster geometry is comparable at a given seed
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(vecs.select(array_to_vector(col("v")).as("fv")))
+    val centers = model.clusterCenters.map(_.toArray)
+    // fine quantizer: PQ codebook on a bounded deterministic sample of
+    // the unit vectors, exactly as pqIndexWrite trains it
+    val sample = vecs.orderBy(col("id")).limit(trainN)
+      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
+    val codebook = pqTrainLocal(sample, m, ksub, seed = seed)
+    ivfpqWriteCoded(vecs, centers, codebook, m, ksub, subDim, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (x, d) => (i, d, x) } }
+      .toSeq.toDF("cluster", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    codebook.zipWithIndex.map { case (x, i) =>
+      (i / (ksub * subDim), (i / subDim) % ksub, i % subDim, x)
+    }.toSeq.toDF("sub", "centroid", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
+    IndexManifest.snapshot(spark, path, Seq(""))
+  }
+
+  /** One coded write shared by build and append: encode against the
+    * given codebook, assign against the given centers (both frozen
+    * model parameters on the append path), cluster rows by target
+    * directory, write partitioned by cluster. */
+  private def ivfpqWriteCoded(vecs: DataFrame, centers: Array[Array[Double]],
+      codebook: Array[Double], m: Int, ksub: Int, subDim: Int,
+      path: String, mode: org.apache.spark.sql.SaveMode): Unit =
+    vecs.select(col("id"),
+        graft.functions.VectorFunctions.pqEncode(col("u"), codebook, m, ksub,
+          subDim).as("code"),
+        assignCluster(col("v"), centers).as("cluster"))
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
+  /**
+   * APPEND under the FROZEN coarse quantizer AND frozen codebook —
+   * both persisted at build time: the batch lands in exactly the
+   * cluster directories and with exactly the codes a frozen-parameter
+   * build would have given it, so probe-after-append ≡ probe over
+   * that build (IvfPqIndexSpec proves it). Staged + one-rename
+   * manifest commit, the family-wide crash contract.
+   */
+  def ivfpqIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, ksub: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val (codebook, subDim) = loadCodebook(spark, path, m, ksub)
+    val centers = loadCenters(spark, path)
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val staging = IndexManifest.stagingRoot(path) + "/" +
+      java.util.UUID.randomUUID().toString
+    ivfpqWriteCoded(vecs, centers, codebook, m, ksub, subDim, staging,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexManifest.commit(spark, path,
+      IndexManifest.promoteStaged(spark, path, staging))
+  }
+
+  /**
+   * Probe the composed index: centroids and codebook load driver-side
+   * (model parameters — a few KB), the `nProbe` nearest-by-cosine
+   * clusters become a literal `cluster IN (…)` over the PARTITION
+   * column (directory pruning at file-listing time), and inside the
+   * pruned directories the ADC scan ranks by `m` LUT lookups over the
+   * 8-byte code — `ReadSchema` carries (id, code) only, no vector
+   * bytes. ONE scan gets both cuts; exact cosine re-ranks the fetched
+   * top `k·refine`.
+   */
+  def ivfpqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecsDf: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, nProbe: Int = 2, m: Int = 16,
+      ksub: Int = 16, refine: Int = 16,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (codebook, subDim) = loadCodebook(spark, path, m, ksub)
+    // coarse: rank clusters by cosine to the query, driver-side
+    val centroids = spark.read.parquet(centroidsPath(path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(_._3)
+      }
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    def cosTo(c: Array[Double]): Double = {
+      val d = c.zip(queryVec).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) -1 else d / (n * qnrm)
+    }
+    val probes = centroids.toSeq.sortBy { case (_, c) => -cosTo(c) }
+      .take(nProbe).map(_._1)
+    // fine: the query LUT, valid across every probed cluster
+    // (non-residual codes)
+    val qu = queryVec.map(_ / qnrm)
+    val lut = pqLut(qu, codebook, m, ksub, subDim)
+    val codes = IndexTombstones.mask(
+      IndexManifest.readTable(spark, path, "")
+        .filter(col("cluster").isin(probes.map(Integer.valueOf): _*)),
+      "id", IndexTombstones.siblingPath(path))
+    val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
+      .withColumn("aip",
+        graft.functions.VectorFunctions.pqAdc(col("code"), lut, m, ksub))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val vecs = withNorm(vecsDf, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val quCol = array(qu.map(lit): _*)
+    scanned.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cluster"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Per-dimension (min, max) over the UNIT vectors — the SQ8 model
    * parameters. ONE partial-aggregating pass (posexplode + min/max

@@ -59,7 +59,9 @@ object Triangles {
     val guard = oriented.groupBy(col("lo")).agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("nw"))
       .head().getLong(0)
-    require(guard <= wedgeBudget,
+    // -1 disables the guard, per the Budget-namespace contract every
+    // other guard in the repo honors (ScaleGuard, Multimodal)
+    if (wedgeBudget >= 0L) require(guard <= wedgeBudget,
       s"triangleCount: $guard oriented wedges exceeds maxWedges=$wedgeBudget" +
         " — raise the budget explicitly or pre-filter the pair graph")
     val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"),

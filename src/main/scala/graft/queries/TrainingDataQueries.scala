@@ -878,6 +878,22 @@ object TrainingDataQueries {
         Similarity.sq8Ann(Tables.embeddings(s, d), "vec_id", "embedding",
           queryId = 0L, k = 10, dim = 64, refine = 4),
         Seq("vec_id"), floor = 0.9, nAlias = "k")),
+    // the composed production shape: IVF partition prune AND PQ
+    // compressed-domain scan in ONE probe, persisted + manifest-
+    // committed; recall self-checked against the exact brute anchor
+    "ivfpq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = graft.Scratch.tempDir("graft_ivfpq") + "/idx"
+      Similarity.ivfpqIndexWrite(emb, "vec_id", "embedding", path, dim = 64,
+        nCentroids = 16)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      recallChecked(
+        Similarity.knnBrute(emb, "vec_id", "embedding", queryId = 0L, k = 10),
+        Similarity.ivfpqProbe(s, path, emb, "vec_id", "embedding", q, k = 10,
+          nProbe = 8, refine = 16, excludeId = Some(0L)),
+        Seq("vec_id"), floor = 0.5, nAlias = "k")
+    }),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>
@@ -1488,6 +1504,8 @@ object TrainingDataQueries {
     "pq_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "sq8_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
+    "ivfpq_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (

@@ -283,6 +283,17 @@ object EventStreams {
    * only buckets the batch touches) or a storage-layer MERGE; the
    * streaming mechanics — bounded per-batch work, versioned atomic
    * publish, slice-independent convergence — are the contract here.
+   *
+   * PUBLISH is crash-atomic (r11): each batch writes version v+1's
+   * files and flips reader visibility with ONE [[graft.operators
+   * .IndexManifest.replace]] commit (claim + rename — the banded-index
+   * protocol). Before this, readers resolved "current snapshot" by
+   * directory convention, so a writer crash mid-write of v+1 left a
+   * partial directory a restarting reader could open; now a crash
+   * anywhere before the manifest flip leaves the committed head — and
+   * every reader — exactly ≡ pre-publish (CdcStreamSpec's crash case
+   * proves it). The superseded version's files become manifest orphans
+   * for the owner's vacuum cadence.
    */
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
     // Scratch-registered: the replay layout + versioned snapshots are
@@ -306,17 +317,35 @@ object EventStreams {
             else spark.read.parquet(s"$snapDir/v$v")
           latestPerKey(cur.unionByName(incoming))
             .write.mode("overwrite").parquet(s"$snapDir/v${v + 1}")
+          // visibility flip: ONE manifest commit naming only v+1's
+          // files — a crash before this line leaves readers on v
+          graft.operators.IndexManifest.replace(spark, snapDir,
+            graft.operators.IndexManifest.listDataFiles(spark, snapDir,
+              s"v${v + 1}"))
           version.incrementAndGet()
           ()
         }
         .start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.read.parquet(s"$snapDir/v${version.get()}")
+    cdcSnapshotRead(spark, snapDir)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"),
         unix_micros(col("ts")).as("last_us"))
       .orderBy(col("user_id"))
+  }
+
+  /** Resolve the CURRENT committed CDC snapshot through its manifest —
+    * the reader half of the crash-atomic publish: only files named by
+    * the head manifest version are opened, so a torn (or complete but
+    * uncommitted) v+1 write is invisible and a restarting reader sees
+    * exactly the last published state. */
+  private[graft] def cdcSnapshotRead(spark: SparkSession,
+      snapDir: String): DataFrame = {
+    val (_, files) = graft.operators.IndexManifest.read(spark, snapDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed CDC snapshot at $snapDir — no publish has completed"))
+    spark.read.parquet(files.map(snapDir.stripSuffix("/") + "/" + _): _*)
   }
 
   /**

@@ -154,11 +154,42 @@ class IndexCommitSpec extends AnyFunSuite {
     assert(v0 == 0 && v1 == 1)
     assert(IndexManifest.read(spark, root).get ==
       (1L, Seq("t/a.parquet", "t/b.parquet")))
-    // snapshot REPLACES: history cleared, only current files listed
+    // snapshot REPLACES the file list in one atomic version flip —
+    // versions stay monotone (r11: the old delete-then-recommit shape
+    // restarted at v0 through a window with NO manifest at all, where
+    // readers fell back to raw directory listing)
     Files.createDirectories(Paths.get(root, "t"))
     Files.write(Paths.get(root, "t", "c.parquet"), Array[Byte](1))
     val v2 = IndexManifest.snapshot(spark, root, Seq("t"))
-    assert(v2 == 0L)
+    assert(v2 == 2L)
     assert(IndexManifest.read(spark, root).get._2 == Seq("t/c.parquet"))
+  }
+
+  test("concurrent committers: claim fence keeps both commits' files") {
+    // the r10 fence was exists+rename — on a local FS rename OVERWRITES,
+    // so two racing committers could both "win" one version and one
+    // commit's files silently vanished from the manifest. The r11
+    // claim (create-no-overwrite) forces the loser to rebuild on the
+    // winner's head: after N racing commits, every file is present.
+    val root = graft.Scratch.tempDir("graft_commit_race")
+    IndexManifest.commit(spark, root, Seq("t/base.parquet"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            IndexManifest.commit(spark, root, Seq(s"t/race-$i.parquet"))
+        })
+      }
+      val versions = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every committer got its own version — no two "won" the same one
+      assert(versions.distinct.length == versions.length,
+        s"duplicate versions handed out: $versions")
+    } finally pool.shutdown()
+    val finalFiles = IndexManifest.read(spark, root).get._2.toSet
+    val expected = Set("t/base.parquet") ++
+      (0 until 8).map(i => s"t/race-$i.parquet")
+    assert(finalFiles == expected,
+      s"a racing commit's files were dropped: missing ${expected -- finalFiles}")
   }
 }
