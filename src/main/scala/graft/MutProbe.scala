@@ -72,7 +72,7 @@ object MutProbe {
       .withColumn("cos",
         round(dotd(col("v"), col("ov")) / (col("nrm") * col("on")), 6))
       // class by copy index: (k-1) % 3 -> 0:0.98, 1:0.95, 2:0.90
-      .withColumn("cls", (col("k") - 1) % 3)
+      .withColumn("cls", ((col("k") - 1) % 3).cast("long"))
       .select(
         least(col("vec_id"), col("o_id")).as("id1"),
         greatest(col("vec_id"), col("o_id")).as("id2"),

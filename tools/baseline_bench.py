@@ -139,10 +139,14 @@ def _warm(_):
 
 
 def time_graft(blocks_dir: Path, dest: Path, runs: int):
+    import os
+    env = dict(os.environ)
+    # the 8g default heap exits 52/OOM beyond ~10k wide blocks
+    env.setdefault("SPARK_DRIVER_MEM", "64g")
     out = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.etl.EtlBaselineBench {blocks_dir} {dest}/graft {runs}"],
-        cwd=REPO, capture_output=True, text=True, timeout=3600)
+        cwd=REPO, capture_output=True, text=True, timeout=3600, env=env)
     for line in out.stdout.splitlines():
         line = line.strip().removeprefix("[info] ").strip()
         if line.startswith('{"graft_sec"'):
