@@ -35,11 +35,16 @@ object BlockIngest {
    * unknown → null), so the transform layer has ONE input shape.
    */
   def readStringKeys(spark: SparkSession, pathGlob: String): DataFrame =
+    readStringKeysPaths(spark, Seq(pathGlob))
+
+  /** The same legacy read over an explicit file list — the re-read
+    * half of `readAutoCached`'s two-phase routing. */
+  def readStringKeysPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read
       .schema(BlockSchema.blockWithStringKeys)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(pathGlob)
+      .json(paths: _*)
       .withColumn("source", element_at(split(input_file_name(), "/"), -1))
       .withColumn("result", expr(
         """CASE WHEN result IS NULL THEN NULL ELSE named_struct(
@@ -74,6 +79,55 @@ object BlockIngest {
       .filter(col("_corrupt_record").isNotNull || col("result").isNull)
       .join(parsedBadSources, Seq("source"), "left_semi")
     valid(parsed).unionByName(legacyOnlyValid).unionByName(bothBad)
+  }
+
+  /**
+   * Format-tolerant read that parses every file ONCE in the common
+   * case — the scale-honest form of `readAuto`. `readAuto` is fully
+   * declarative, and pays for it: the legacy-schema branches cannot be
+   * pruned by the (almost always empty) bad-source semi-join, because
+   * `source` is derived from `input_file_name()` — so every probe of
+   * the union decompresses and JSON-parses the whole corpus up to
+   * three times. Here the parse lands in a persisted cache, ONE
+   * bounded driver action collects the full paths of the files that
+   * failed the jsonParsed schema (model-parameter-sized: bad extracts
+   * are exceptional, and `maxBadFiles` caps the collect — beyond it we
+   * fall back to the declarative form rather than ship an unbounded
+   * list to the driver), and only those named files are re-read under
+   * the legacy schema. Every downstream task table then reads the
+   * cache, not the gzip.
+   *
+   * The caller owns the cache's lifetime (it backs the returned
+   * DataFrame): `unpersistAuto` releases it.
+   */
+  def readAutoCached(spark: SparkSession, pathGlob: String,
+      maxBadFiles: Int = 10000): DataFrame = {
+    val parsed = spark.read
+      .schema(BlockSchema.block)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(pathGlob)
+      .withColumn("_path", input_file_name())
+      .withColumn("source", element_at(split(col("_path"), "/"), -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = parsed
+      .filter(col("_corrupt_record").isNotNull || col("result").isNull)
+      .select(col("_path")).distinct()
+      .limit(maxBadFiles + 1).collect().map(_.getString(0))
+    if (bad.isEmpty) valid(parsed).drop("_path")
+    else if (bad.length > maxBadFiles) {
+      // pathological corpus (most files legacy/bad): the file list no
+      // longer fits the model-parameter budget — declarative fallback
+      parsed.unpersist()
+      readAuto(spark, pathGlob)
+    } else {
+      val legacy = readStringKeysPaths(spark, bad.toSeq)
+      val stillBad = legacy
+        .filter(col("_corrupt_record").isNotNull || col("result").isNull)
+      valid(parsed).drop("_path")
+        .unionByName(valid(legacy))
+        .unionByName(stillBad)
+    }
   }
 
   /** Well-formed, non-missing blocks (`Block.py:40-47` missing check). */

@@ -36,9 +36,17 @@ object EtlBaselineBench {
     val walls = (1 to runs).map { i =>
       val dest = s"$destDir/run$i/out"
       val t0 = System.nanoTime()
-      val blocks = BlockIngest.readAuto(spark, blocksDir)
-      FileSink.writeTasks(blocks, dest, tasks)
-      (System.nanoTime() - t0) / 1e9
+      // single-parse ingest (the cache-backed two-phase read) + the
+      // four task writes overlapped as concurrent jobs over that cache
+      val blocks = BlockIngest.readAutoCached(spark, blocksDir)
+      FileSink.writeTasks(blocks, dest, tasks, persist = false,
+        concurrent = true)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drop the run's cache so the next run re-parses from the gzip
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      wall
     }
     spark.stop()
     println(s"""{"graft_sec": ${walls.min}, "runs": [${walls.mkString(", ")}]}""")

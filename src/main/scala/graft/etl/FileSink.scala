@@ -90,15 +90,50 @@ object FileSink {
       s"unknown task '$other' (tasks: ${TaskNames.mkString(", ")})")
   }
 
-  /** A chosen subset of task tables (the CLI's `--tasks`). */
+  /**
+   * A chosen subset of task tables (the CLI's `--tasks`).
+   *
+   * `persist = false` for callers whose `blocks` is ALREADY cache-
+   * backed (`BlockIngest.readAutoCached`) — a second persist here
+   * would hold a duplicate copy of the parse.
+   *
+   * `concurrent = true` overlaps the task writes as parallel jobs on
+   * the shared scheduler: each table's plan has phases that leave
+   * cores idle (the blocks table collapses to one row per block; the
+   * commit of each parquet write is serial), and with the parse
+   * materialized in the cache the four jobs are pure cache-scan →
+   * project → write pipelines that interleave cleanly. The cache is
+   * materialized BEFORE the fan-out so concurrent first-actions don't
+   * race to build it partition by partition.
+   */
   def writeTasks(blocks: DataFrame, destDir: String, tasks: Seq[String],
-      asCsv: Boolean = false): Unit = {
+      asCsv: Boolean = false, persist: Boolean = true,
+      concurrent: Boolean = false): Unit = {
     require(tasks.nonEmpty, "no tasks selected")
     val out: (DataFrame, String) => Unit =
       if (asCsv) (df, p) => writeCsv(df, p) else (df, p) => writeParquet(df, p)
-    val cached = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached =
+      if (persist)
+        blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else blocks
     try SolanaTransforms.withBlockEtlPlanning(blocks.sparkSession) {
-      tasks.foreach(t => out(taskTable(cached, t), s"${destDir}_$t"))
-    } finally cached.unpersist()
+      if (!concurrent) {
+        tasks.foreach(t => out(taskTable(cached, t), s"${destDir}_$t"))
+      } else {
+        cached.count() // materialize once, before the fan-out (cheap if
+                       // the caller's cache is already fully built)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val futures = tasks.map { t =>
+            scala.concurrent.Future(out(taskTable(cached, t), s"${destDir}_$t"))
+          }
+          import scala.concurrent.duration.Duration
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures), Duration.Inf)
+        } finally pool.shutdown()
+      }
+    } finally if (persist) cached.unpersist()
   }
 }

@@ -64,20 +64,45 @@ object IndexManifest {
   /** Highest committed (version, files) — None for a pre-manifest
     * index. Files are root-relative. */
   def read(spark: SparkSession, root: String): Option[(Long, Seq[String])] = {
+    val vs = versionPaths(spark, root)
+    if (vs.isEmpty) None
+    else {
+      val (v, p) = vs.maxBy(_._1)
+      Some((v, readVersionFile(spark, root, p)))
+    }
+  }
+
+  /** Every committed version at this root, ascending — the time-travel
+    * axis. Empty for a pre-manifest index. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionPaths(spark, root).map(_._1).sorted
+
+  /** The file list a SPECIFIC committed version names — None if that
+    * version was never committed (or its manifest was vacuumed). */
+  def readAt(spark: SparkSession, root: String,
+      version: Long): Option[Seq[String]] =
+    versionPaths(spark, root).find(_._1 == version)
+      .map { case (_, p) => readVersionFile(spark, root, p) }
+
+  private def versionPaths(spark: SparkSession,
+      root: String): Seq[(Long, Path)] = {
     val fs = fsOf(spark, root)
     val dir = new Path(manifestDir(root))
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
       .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
-    if (versions.isEmpty) return None
-    val (v, p) = versions.maxBy(_._1)
+  }
+
+  private def readVersionFile(spark: SparkSession, root: String,
+      p: Path): Seq[String] = {
+    val fs = fsOf(spark, root)
     val in = fs.open(p)
     val body = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    Some((v, body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)))
+    body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Commit `currentFiles ++ added` as the next version; returns it.
@@ -198,12 +223,33 @@ object IndexManifest {
    * (band=…/bucket=…) alive on the explicit-file read, so partition
    * pruning and the numFiles metrics behave exactly as before.
    */
-  def readTable(spark: SparkSession, root: String, subdir: String): DataFrame = {
+  def readTable(spark: SparkSession, root: String, subdir: String): DataFrame =
+    readTableFiles(spark, root, subdir, read(spark, root).map(_._2))
+
+  /**
+   * TIME-TRAVEL read: open `root/subdir` as a PINNED committed version
+   * — the reproducibility primitive (re-run last week's dedup audit
+   * against exactly the index it probed; diff a probe across two index
+   * versions). Versions stay readable until an [[orphans]] sweep with
+   * the default retention reclaims files the head no longer references
+   * — retain history by sweeping with `retainVersions > 1`, exactly
+   * the Iceberg/Delta snapshot-expiry trade-off. Fails loudly on a
+   * never-committed (or expired) version.
+   */
+  def readTableAt(spark: SparkSession, root: String, subdir: String,
+      version: Long): DataFrame =
+    readTableFiles(spark, root, subdir,
+      Some(readAt(spark, root, version).getOrElse(throw new IllegalStateException(
+        s"IndexManifest.readTableAt: version $version was never committed " +
+          s"at $root (committed: ${versions(spark, root).mkString(", ")})"))))
+
+  private def readTableFiles(spark: SparkSession, root: String,
+      subdir: String, committed: Option[Seq[String]]): DataFrame = {
     val dir =
       if (subdir.isEmpty) root.stripSuffix("/")
       else root.stripSuffix("/") + "/" + subdir
-    read(spark, root) match {
-      case Some((_, files)) =>
+    committed match {
+      case Some(files) =>
         // subdir "" = the root IS the (single-table) index — the flat
         // IVF/PQ/SQ8 layouts; every committed file belongs to it
         val mine = files.filter(f => subdir.isEmpty || f.startsWith(subdir + "/"))
@@ -268,15 +314,21 @@ object IndexManifest {
     moved.result()
   }
 
-  /** Live-tree data files NOT referenced by the current manifest —
-    * the debris a crashed append leaves; safe to delete any time. */
-  def orphans(spark: SparkSession, root: String,
-      subdirs: Seq[String]): Seq[String] =
-    read(spark, root) match {
-      case Some((_, files)) =>
-        val committed = files.toSet
-        subdirs.flatMap(listDataFiles(spark, root, _))
-          .filterNot(committed)
-      case None => Seq.empty
+  /** Live-tree data files NOT referenced by any of the newest
+    * `retainVersions` manifests — crashed-append debris plus files only
+    * older versions name; safe to delete any time at the cost of
+    * time-travel past the retention horizon (`retainVersions = 1`
+    * keeps only the head — the pre-r11 behavior). */
+  def orphans(spark: SparkSession, root: String, subdirs: Seq[String],
+      retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val retained = versions(spark, root).takeRight(retainVersions)
+    if (retained.isEmpty) Seq.empty
+    else {
+      val committed = retained
+        .flatMap(v => readAt(spark, root, v).getOrElse(Seq.empty)).toSet
+      subdirs.flatMap(listDataFiles(spark, root, _))
+        .filterNot(committed)
     }
+  }
 }

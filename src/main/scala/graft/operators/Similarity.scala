@@ -1013,6 +1013,179 @@ object Similarity {
   }
 
   /**
+   * RESIDUAL IVF-PQ persisted index — the finer-quantization upgrade
+   * `ivfpqIndexWrite` documents: each vector's PQ code encodes its
+   * OFFSET from its cluster centroid (`r = u − c`) instead of the
+   * unit vector itself. Residuals span a far smaller cell of the
+   * space than the whole sphere, so the same 8-byte budget quantizes
+   * them with less error (IvfPqResidualSpec measures the ADC-error
+   * drop against the non-residual index on identical data). The
+   * classic cost — one ADC lookup table PER PROBED CLUSTER under L2 —
+   * vanishes under the inner-product metric this engine ranks by:
+   * ⟨q, u⟩ = ⟨q, c⟩ + ⟨q, r⟩, where ⟨q, c⟩ is one driver-computed
+   * double per cluster (a literal lookup on the partition column) and
+   * ⟨q, r⟩ is the SAME query LUT for every cluster (the LUT depends
+   * only on the query and the shared residual codebook). One scan,
+   * one ADC expression, plus a per-cluster additive constant.
+   *
+   * Differences from the non-residual build, both deliberate: the
+   * coarse quantizer fits on the UNIT vectors (the decomposition
+   * lives in unit space), and the PQ codebook trains on a bounded
+   * driver-side sample of RESIDUALS (assignment + subtraction are
+   * driver-local replays of the same centroid math). Layout, append
+   * contract, and manifest commit are identical to `ivfpqIndexWrite`.
+   */
+  def ivfpqrIndexWrite(df: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, nCentroids: Int = 16, m: Int = 16,
+      ksub: Int = 16, trainN: Int = 2048, seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(vecs.select(array_to_vector(col("u")).as("fv")))
+    val centers = model.clusterCenters.map(_.toArray)
+    // residual codebook: driver-side fit on residuals of a bounded
+    // deterministic sample — assignment replayed locally with the
+    // same d² = u·u − 2u·c + c·c argmin the distributed expression uses
+    val sampleU = vecs.orderBy(col("id")).limit(trainN)
+      .select(col("u")).collect().map(_.getSeq[Double](0).toArray)
+    val residualSample = sampleU.map { u => residualLocal(u, centers) }
+    val codebook = pqTrainLocal(residualSample, m, ksub, seed = seed)
+    ivfpqrWriteCoded(vecs, centers, codebook, m, ksub, subDim, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (x, d) => (i, d, x) } }
+      .toSeq.toDF("cluster", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    codebook.zipWithIndex.map { case (x, i) =>
+      (i / (ksub * subDim), (i / subDim) % ksub, i % subDim, x)
+    }.toSeq.toDF("sub", "centroid", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
+    IndexManifest.snapshot(spark, path, Seq(""))
+  }
+
+  /** Driver-local replay of assignCluster + subtraction: nearest
+    * centroid by squared euclidean (ties to the lowest id, matching
+    * array_position-of-min), residual = u − c. */
+  private def residualLocal(u: Array[Double],
+      centers: Array[Array[Double]]): Array[Double] = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var i = 0
+      while (i < u.length) { val x = u(i) - centers(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val r = new Array[Double](u.length)
+    var i = 0
+    while (i < u.length) { r(i) = u(i) - centers(best)(i); i += 1 }
+    r
+  }
+
+  /** The distributed residual: u − centers[cluster], as one codegen'd
+    * zip_with over a literal centroid matrix (nCentroids·dim doubles —
+    * model parameters, never a join). */
+  private def residualCol(u: Column, cluster: Column,
+      centers: Array[Array[Double]]): Column = {
+    val centersLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    zip_with(u, element_at(centersLit, (cluster + 1).cast("int")), _ - _)
+  }
+
+  /** Shared by residual build and append: assign on the unit vector,
+    * encode the residual, cluster rows by target directory, write
+    * partitioned by cluster (the ivfWriteAssigned layout contract). */
+  private def ivfpqrWriteCoded(vecs: DataFrame,
+      centers: Array[Array[Double]], codebook: Array[Double], m: Int,
+      ksub: Int, subDim: Int, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    vecs.withColumn("cluster", assignCluster(col("u"), centers))
+      .select(col("id"),
+        graft.functions.VectorFunctions.pqEncode(
+          residualCol(col("u"), col("cluster"), centers),
+          codebook, m, ksub, subDim).as("code"),
+        col("cluster"))
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
+  /** APPEND under the frozen quantizer AND frozen residual codebook —
+    * the batch lands exactly where a frozen-parameter build would put
+    * it, with exactly that build's codes; staged + one-rename manifest
+    * commit (the family-wide crash contract). */
+  def ivfpqrIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, ksub: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val (codebook, subDim) = loadCodebook(spark, path, m, ksub)
+    val centers = loadCenters(spark, path)
+    val vecs = withNorm(df, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val staging = IndexManifest.stagingRoot(path) + "/" +
+      java.util.UUID.randomUUID().toString
+    ivfpqrWriteCoded(vecs, centers, codebook, m, ksub, subDim, staging,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexManifest.commit(spark, path,
+      IndexManifest.promoteStaged(spark, path, staging))
+  }
+
+  /**
+   * Probe the residual index: clusters ranked by ⟨q_u, c⟩ driver-side
+   * (the additive term of the decomposition — ranking by it probes
+   * the clusters that contribute the largest constant), partition
+   * prune via literal `cluster IN (…)`, and the estimate inside is
+   * `⟨q_u, c_cluster⟩ + ADC(code)` — the per-cluster constant enters
+   * as an `element_at` over an nProbe-sized literal array on the
+   * partition column, so the scan stays ONE codegen'd projection over
+   * (id, code, cluster). Exact cosine re-ranks the fetched top
+   * `k·refine`, identical to every other family.
+   */
+  def ivfpqrProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecsDf: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, nProbe: Int = 2, m: Int = 16,
+      ksub: Int = 16, refine: Int = 16,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (codebook, subDim) = loadCodebook(spark, path, m, ksub)
+    val centers = loadCenters(spark, path)
+    val qnrm = math.sqrt(queryVec.map(x => x * x).sum)
+    val qu = queryVec.map(_ / qnrm)
+    def ipTo(c: Array[Double]): Double =
+      c.zip(qu).map { case (a, b) => a * b }.sum
+    val probes = centers.zipWithIndex
+      .sortBy { case (c, _) => -ipTo(c) }.take(nProbe)
+    val probeIds = probes.map(_._2)
+    val lut = pqLut(qu, codebook, m, ksub, subDim)
+    // per-cluster additive constant ⟨q_u, c⟩, dense over ALL clusters
+    // (nCentroids doubles — a literal array indexed by the partition col)
+    val clusterIp = array(centers.map(c => lit(ipTo(c))): _*)
+    val codes = IndexTombstones.mask(
+      IndexManifest.readTable(spark, path, "")
+        .filter(col("cluster").isin(probeIds.map(Integer.valueOf): _*)),
+      "id", IndexTombstones.siblingPath(path))
+    val scanned = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
+      .withColumn("aip",
+        element_at(clusterIp, (col("cluster") + 1).cast("int")) +
+          graft.functions.VectorFunctions.pqAdc(col("code"), lut, m, ksub))
+      .orderBy(col("aip").desc, col("id"))
+      .limit(k * refine)
+    val vecs = withNorm(vecsDf, Seq(idCol), vecCol)
+      .select(col(idCol).as("id"), col("v"), col("nrm"))
+      .withColumn("u", transform(col("v"), _ / col("nrm")))
+    val quCol = array(qu.map(lit): _*)
+    scanned.join(vecs, Seq("id"))
+      .withColumn("cos", round(dot(col("u"), quCol), 6))
+      .select(col("id").as(idCol), col("cluster"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Per-dimension (min, max) over the UNIT vectors — the SQ8 model
    * parameters. ONE partial-aggregating pass (posexplode + min/max
    * groupBy on the dimension index; `dim` result rows), collected

@@ -894,6 +894,23 @@ object TrainingDataQueries {
           nProbe = 8, refine = 16, excludeId = Some(0L)),
         Seq("vec_id"), floor = 0.5, nAlias = "k")
     }),
+    // residual upgrade of the composed index: codes quantize u − c,
+    // the per-cluster constant re-enters as a literal on the partition
+    // column (inner-product metric — no per-cluster LUT needed);
+    // IvfPqResidualSpec measures the ADC-error drop vs non-residual
+    "ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = graft.Scratch.tempDir("graft_ivfpqr") + "/idx"
+      Similarity.ivfpqrIndexWrite(emb, "vec_id", "embedding", path, dim = 64,
+        nCentroids = 16)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      recallChecked(
+        Similarity.knnBrute(emb, "vec_id", "embedding", queryId = 0L, k = 10),
+        Similarity.ivfpqrProbe(s, path, emb, "vec_id", "embedding", q, k = 10,
+          nProbe = 8, refine = 16, excludeId = Some(0L)),
+        Seq("vec_id"), floor = 0.5, nAlias = "k")
+    }),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
     "lang_id" -> ((s, d) =>
@@ -1506,6 +1523,8 @@ object TrainingDataQueries {
     "sq8_ann" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "ivfpq_ann" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
+    "ivfpq_residual" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS within_bound, TRUE AS nonempty",
     "dedup_semantic" ->
       """WITH RECURSIVE prs AS (

@@ -159,6 +159,45 @@ class SolanaEtlSpec extends AnyFunSuite {
       .map(_.getAs[String]("block")).toSeq == Seq("block_bad.json"))
   }
 
+  test("readAutoCached routes exactly like readAuto and parses once in the common case") {
+    val root = getClass.getResource("/blocks").getPath
+      .stripSuffix("/blocks")
+    // mixed corpus (jsonParsed + legacy + corrupt): same rows as the
+    // declarative form, through the bounded bad-file re-read
+    val cached = BlockIngest.readAutoCached(spark, s"$root/block*/*.json*")
+    val auto = BlockIngest.readAuto(spark, s"$root/block*/*.json*")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("source", "result.blockhash", "_corrupt_record IS NOT NULL")
+        .collect().map(_.toString).sorted.toSeq
+    assert(key(cached) == key(auto))
+    assert(SolanaTransforms.transactions(cached).count() == 4)
+    assert(BlockIngest.errors(cached).collect()
+      .map(_.getAs[String]("block")).toSeq == Seq("block_bad.json"))
+    spark.sharedState.cacheManager.clearCache()
+
+    // all-good corpus: the fast path (no legacy re-read) — plan is the
+    // cache, not a three-branch union over the gzip
+    val good = BlockIngest.readAutoCached(spark, s"$fixtures/block_10*")
+    assert(good.count() == 2)
+    assert(good.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "all-good corpus should read the single cached parse")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("concurrent task writes produce exactly the sequential tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_conc").toString
+    FileSink.writeTasks(blocks, s"$dir/seq", FileSink.TaskNames)
+    FileSink.writeTasks(blocks, s"$dir/conc", FileSink.TaskNames,
+      concurrent = true)
+    FileSink.TaskNames.foreach { t =>
+      val a = spark.read.parquet(s"$dir/seq_$t").collect()
+        .map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$dir/conc_$t").collect()
+        .map(_.toString).sorted.toSeq
+      assert(a == b, s"task $t differs between sequential and concurrent writes")
+    }
+  }
+
   test("file sink writes all task tables plus errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     FileSink.writeAll(blocks, s"$dir/out")
