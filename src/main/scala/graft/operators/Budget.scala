@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
  * | maxWedges        | (param-only before r10)      | 2e9    | Triangles.triangleCount oriented-wedge guard |
  * | bandCandPairs    | (new r10)                    | 2e9    | Multimodal.nearDupMedia banded candidate guard |
  * | maxBucketRows    | (param-only before r10)      | 1024   | dense-bucket salting cap (banded self-joins) |
+ * | indexDocsPerDir  | (new r11)                    | 16384  | persisted-index bucket-directory fan-out: one directory slice per this many docs at CREATE (Dedup.autoBucketDirs) |
  *
  * Semantics: -1 disables a guard (documented per call site); caps are
  * never disabled (they cost no recall, only layout).
@@ -32,6 +33,7 @@ object Budget {
   val MaxWedges = "maxWedges"
   val BandCandPairs = "bandCandPairs"
   val MaxBucketRows = "maxBucketRows"
+  val IndexDocsPerDir = "indexDocsPerDir"
 
   /** Resolve a budget: `spark.graft.budget.<name>`, else the legacy
     * alias, else the default. */

@@ -798,13 +798,15 @@ object Dedup {
    * measured the probe LOSING 1.9× at a 100:1 corpus:batch ratio);
    * split, the band scan is a few bytes per row and the sig fetch is
    * one narrow column table.
-   * A production deploy sizes bucketDirs so each directory holds a
-   * few files (like shuffle-partition sizing); the fold changes only
-   * the pruning granularity, never candidates.
+   * The fan-out is SIZED TO THE CORPUS at create (see
+   * [[autoBucketDirs]]) and persisted with the index (`_layout.txt`),
+   * so probes/appends always fold with the modulus the directories
+   * were laid out with; pass bucketDirs > 0 to pin it explicitly.
+   * The fold changes only the pruning granularity, never candidates.
    */
   def minhashIndexWrite(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketDirs: Int = 64): Unit =
+      bucketDirs: Int = 0): Unit =
     writeIndexRows(df, idCol, textCol, path, n, bands, rowsPerBand,
       bucketDirs, org.apache.spark.sql.SaveMode.Overwrite)
 
@@ -832,7 +834,7 @@ object Dedup {
    */
   def minhashIndexAppend(df: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketDirs: Int = 64): Unit =
+      bucketDirs: Int = 0): Unit =
     writeIndexRows(df, idCol, textCol, path, n, bands, rowsPerBand,
       bucketDirs, org.apache.spark.sql.SaveMode.Append)
 
@@ -854,12 +856,16 @@ object Dedup {
   private[operators] def bandRowsOf(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       bucketDirs: Int, keepSig: Boolean = false): DataFrame = {
     val keep = if (keepSig) Seq(col("doc"), col("sig")) else Seq(col("doc"))
+    // bucketDirs <= 0 = "unresolved" (callers that never consume
+    // bucket_p, e.g. the batch-internal pair join): fold to one value
+    // rather than pmod-by-zero, which ANSI mode makes fatal
+    val bd = math.max(bucketDirs, 1)
     sigs.select(keep :+
         posexplode(array((0 until bands).map { b =>
           xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
         }: _*)).as(Seq("band", "bucket")): _*)
-      .withColumn("bucket_p", pmod(col("bucket"), lit(bucketDirs.toLong)))
+      .withColumn("bucket_p", pmod(col("bucket"), lit(bd.toLong)))
   }
 
   private def sigsPath(path: String): String =
@@ -868,6 +874,78 @@ object Dedup {
     path.stripSuffix("/") + "/bands"
   private[operators] def tombstonesPath(path: String): String =
     path.stripSuffix("/") + "/tombstones"
+  private def layoutFilePath(path: String): String =
+    path.stripSuffix("/") + "/_layout.txt"
+
+  /** Pre-r11 indexes carry no layout file; they were all written with
+    * this fan-out, so resolution falls back to it. */
+  private val LegacyBucketDirs = 64
+  private val MinBucketDirs = 4
+  private val MaxBucketDirs = 1024
+
+  /**
+   * SCALE-ADAPTIVE bucket-directory fan-out (r11, guide §2/§6): the
+   * fixed bucketDirs=64 default meant every index write — even a
+   * 4-arrival streaming microbatch at test SF — created up to
+   * 16 bands × 64 = 1024 directories each holding one ~1 KB file, and
+   * every append staged+renamed+manifest-listed ~1024 files (measured:
+   * the minhash-index registry family spent most of its bench wall in
+   * file commits, not compute). The fan-out now derives from the
+   * corpus size at CREATE — one directory slice per
+   * `spark.graft.budget.indexDocsPerDir` (default 16 Ki) documents,
+   * clamped to [4, 1024] — so a test-SF index writes 64 directories
+   * while a 10⁹-doc corpus gets the full 16 Ki directories and with
+   * them FINER probe pruning than the old constant ever gave. The
+   * fold changes only pruning granularity and file layout, never
+   * candidates or estimates (the join is on the full 64-bit bucket).
+   */
+  private[operators] def autoBucketDirs(
+      spark: org.apache.spark.sql.SparkSession, nDocs: Long): Int = {
+    val perDir = math.max(1L,
+      Budget.long(spark, Budget.IndexDocsPerDir, 16384L))
+    math.min(MaxBucketDirs.toLong, math.max(MinBucketDirs.toLong,
+      (nDocs + perDir - 1) / perDir)).toInt
+  }
+
+  /** The chosen fan-out travels WITH the index (`_layout.txt` at the
+    * root, written once at CREATE): probes and appends must fold
+    * buckets with the modulus the directories were laid out with — a
+    * mismatched modulus silently excludes live directories from the
+    * probe's partition-pruning predicate (lost candidates, not just
+    * lost pruning) — so the value is index metadata, not a call-site
+    * parameter the caller has to keep in sync. */
+  private def writeLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, bucketDirs: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(layoutFilePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"bucketDirs=$bucketDirs\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[operators] def readLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(layoutFilePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.linesIterator.collectFirst {
+        case l if l.startsWith("bucketDirs=") =>
+          l.stripPrefix("bucketDirs=").trim.toInt
+      }
+    }
+  }
+
+  /** Layout file if present (any index written since r11), else the
+    * explicit parameter, else the pre-r11 constant. */
+  private def resolveBucketDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, param: Int): Int =
+    readLayout(spark, path).getOrElse(
+      if (param > 0) param else LegacyBucketDirs)
 
   /**
    * DELETE documents from a standing index — the third CRUD leg of
@@ -918,6 +996,9 @@ object Dedup {
         col("band"), col("bucket_p"))
       .write.mode("overwrite").partitionBy("band", "bucket_p")
       .parquet(bandsPath(dest))
+    // the rewrite preserves bucket_p values (read from the src rows),
+    // so the src fan-out is dest's physical layout — carry it over
+    readLayout(spark, src).foreach(writeLayout(spark, dest, _))
     IndexManifest.snapshot(spark, dest, Seq("sigs", "bands"))
   }
 
@@ -972,6 +1053,13 @@ object Dedup {
       bands: Int, rowsPerBand: Int, bucketDirs: Int,
       mode: org.apache.spark.sql.SaveMode): Unit = {
     val spark = sigRows.sparkSession
+    // fan-out: explicit param > 0 wins; else CREATE derives it from
+    // the corpus size (autoBucketDirs) and APPEND reads the index's
+    // persisted layout — physical directories are frozen at create
+    val appendDirs =
+      if (mode != org.apache.spark.sql.SaveMode.Overwrite)
+        resolveBucketDirs(spark, path, bucketDirs)
+      else 0
     // the sig write runs at full parallelism (a corpus-sized table must
     // never funnel through one task) and IS the materialization of the
     // expensive shingle+min pass: the band rows derive from reading it
@@ -980,8 +1068,8 @@ object Dedup {
     // batch-sized sig relation checkpoints instead — batch-sized state,
     // the same class as the probe's (a no-op when the caller already
     // materialized, as minhashRound does).
-    def writeBands(sigs: DataFrame, dest: String): Unit =
-      bandRowsOf(sigs, bands, rowsPerBand, bucketDirs)
+    def writeBands(sigs: DataFrame, dest: String, dirs: Int): Unit =
+      bandRowsOf(sigs, bands, rowsPerBand, dirs)
         // cluster rows by their target directory before the partitioned
         // write: otherwise EVERY shuffle partition writes a file into
         // every (band, bucket_p) directory it touches — up to
@@ -1003,7 +1091,12 @@ object Dedup {
         .partitionBy("band", "bucket_p").parquet(dest)
     if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
       sigRows.write.mode(mode).parquet(sigsPath(path))
-      writeBands(spark.read.parquet(sigsPath(path)), bandsPath(path))
+      val back = spark.read.parquet(sigsPath(path))
+      // parquet metadata count — no data scan; deterministic per input
+      val dirs =
+        if (bucketDirs > 0) bucketDirs else autoBucketDirs(spark, back.count())
+      writeLayout(spark, path, dirs)
+      writeBands(back, bandsPath(path), dirs)
       IndexManifest.snapshot(spark, path, Seq("sigs", "bands"))
     } else {
       // APPEND goes through the crash-safe commit protocol: stage the
@@ -1015,7 +1108,7 @@ object Dedup {
         java.util.UUID.randomUUID().toString
       sigRows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(staging + "/sigs")
-      writeBands(materialize(sigRows), staging + "/bands")
+      writeBands(materialize(sigRows), staging + "/bands", appendDirs)
       IndexManifest.commit(spark, path,
         IndexManifest.promoteStaged(spark, path, staging))
     }
@@ -1033,7 +1126,7 @@ object Dedup {
    */
   def minhashProbe(newDocs: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketDirs: Int = 64): DataFrame =
+      bucketDirs: Int = 0): DataFrame =
     probeFromSigs(
       materialize(minhashSigRows(newDocs, idCol, textCol, n, k = bands * rowsPerBand)),
       path, bands, rowsPerBand, bucketDirs)
@@ -1044,10 +1137,14 @@ object Dedup {
   private def probeFromSigs(batchSigs: DataFrame, path: String,
       bands: Int, rowsPerBand: Int, bucketDirs: Int): DataFrame = {
     val k = bands * rowsPerBand
+    // the batch folds its buckets with the INDEX's persisted fan-out —
+    // a probe-side modulus that differs from the directory layout
+    // would exclude live directories from the pruning predicate
+    val dirs = resolveBucketDirs(batchSigs.sparkSession, path, bucketDirs)
     // batch band rows CARRY the batch signature (batch-sized — the
     // asymmetry with the corpus side is the point: the corpus band
     // rows are narrow and its signatures arrive by one id-keyed fetch)
-    val banded = bandRowsOf(batchSigs, bands, rowsPerBand, bucketDirs,
+    val banded = bandRowsOf(batchSigs, bands, rowsPerBand, dirs,
       keepSig = true)
     // sorted: collect() order varies run-to-run, and an unsorted
     // literal predicate is a different plan TEXT each run — a false
@@ -1147,7 +1244,7 @@ object Dedup {
    */
   def minhashRound(batch: DataFrame, path: String, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketDirs: Int = 64): DataFrame = {
+      bucketDirs: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val batchSigs = materialize(
       minhashSigRows(batch, idCol, textCol, n, bands * rowsPerBand))

@@ -68,6 +68,13 @@ class IndexCompactSpec extends AnyFunSuite {
       Dedup.bandsPath(idx), Dedup.bandsPath(compacted),
       Seq("band", "bucket_p"))
     assert(nOut < nIn, s"compaction did not shrink the index: $nIn -> $nOut")
+    // the orchestrator swapping a compacted root in carries the
+    // index-level metadata (the `_layout.txt` fan-out record) with it,
+    // same as it would the manifest — compactPartitioned itself only
+    // rewrites the one partitioned table it is pointed at
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(idx, "_layout.txt"),
+      java.nio.file.Paths.get(compacted, "_layout.txt"))
     val (sigsIn, sigsOut) = Layout.compact(spark, idx + "/sigs",
       compacted + "/sigs", targetFileBytes = 128L << 20)
     assert(sigsIn >= 3 && sigsOut == 1,
