@@ -76,7 +76,98 @@ object OptProbe {
       g.groupBy(col("asset_id"))
         .agg(count(lit(1)).as("n_g"), sCols: _*)
     }
+    // pipeline_curate stage prefixes (public operators the query
+    // composes, cumulative)
+    import org.apache.spark.sql.expressions.Window
+    def pcKept1 = {
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      operators.Dedup.materialize(
+        train.withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("keep_id")).drop("keep_id"))
+    }
+    def pcKept2 = {
+      val kept1 = pcKept1
+      val pairs = operators.Dedup.ngramJaccardPairs(kept1, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleFreq = 100)
+      val dupIds = operators.Dedup.connectedComponents(pairs, "id1", "id2")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      kept1.join(dupIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    }
+    def pcKept3 = {
+      val kept2 = pcKept2
+      val quality = operators.Dedup.materialize(
+        operators.TextAnalysis.qualityScore(kept2, "doc_id", "text")
+          .select(col("doc_id"), col("quality")))
+      kept2.join(quality.hint("shuffle_hash"), "doc_id")
+        .filter(col("quality") >= 0.5)
+    }
+    def pcKept4 = {
+      val kept3 = pcKept3
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      val contaminated = operators.Dedup.materialize(
+        operators.Curation.decontaminateBloom(kept3, eval, "doc_id", "text", n = 5)
+          .filter(col("contaminated")).select(col("doc_id")))
+      kept3.join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    }
+    // embed_dedup_index stage prefixes
+    def emb = Tables.embeddings(spark, sfDir)
+    def annWriteOnly = {
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val path = Scratch.tempDir("graft_opt_ann") + "/idx"
+      operators.Similarity.annIndexWrite(corpus, "vec_id", "embedding", path, dim = 64)
+      spark.range(1).toDF("ok")
+    }
+    def annWriteProbe = {
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val incoming = emb.filter(col("vec_id") % 10 === 0)
+      val path = Scratch.tempDir("graft_opt_ann2") + "/idx"
+      operators.Similarity.annIndexWrite(corpus, "vec_id", "embedding", path, dim = 64)
+      operators.Similarity.annBatchProbe(incoming, path, "vec_id", "embedding",
+        threshold = 0.4, dim = 64)
+    }
+    def embRefLsh = operators.Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
+
+    // minhash signature stage: current (64 seeded xxhash64) vs affine
+    // (one xxhash64 base + 64 odd-multiplier affine permutations)
+    import graft.functions.TextFunctions.words
+    def shingles = {
+      val n = 3
+      val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      val wordTable = docs.select(col("doc_id").as("doc"),
+        posexplode(words(col("text"))).as(Seq("pos", "w")))
+      val withLeads = wordTable.select(col("doc") +: col("w").as("w0") +:
+        (1 until n).map(k => lead(col("w"), k).over(byDoc).as(s"w$k")): _*)
+      withLeads.filter(col(s"w${n - 1}").isNotNull)
+        .select(col("doc"),
+          xxhash64(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("s"))
+        .distinct()
+    }
+    def mhSigBase = shingles.groupBy(col("doc"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("sig_0"),
+        (1 until 64).map(i => min(xxhash64(lit(i), col("s"))).as(s"sig_$i")): _*)
+    def ngramPairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 100)
+    def ngramCc = operators.Dedup.connectedComponents(
+      ngramPairs.select(col("id1"), col("id2")), "id1", "id2")
+    def mhLshPairs = operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
     val stages: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ngram_pairs" -> (() => ngramPairs),
+      "ngram_cc" -> (() => ngramCc),
+      "mh_lsh_pairs" -> (() => mhLshPairs),
+      "mh_shingles" -> (() => shingles),
+      "mh_sig_base" -> (() => mhSigBase),
+      "pc_kept1" -> (() => pcKept1),
+      "pc_kept2" -> (() => pcKept2),
+      "pc_kept3" -> (() => pcKept3),
+      "pc_kept4" -> (() => pcKept4),
+      "pc_full" -> (() => queries.TrainingDataQueries.queries("pipeline_curate")(spark, sfDir)),
+      "ann_write_only" -> (() => annWriteOnly),
+      "ann_write_probe" -> (() => annWriteProbe),
+      "emb_ref_lsh" -> (() => embRefLsh),
+      "emb_full" -> (() => queries.TrainingDataQueries.queries("embed_dedup_index")(spark, sfDir)),
       "mm_grams_w8_v2" -> (() => mmGramsV2(8)),
       "mm_sums_w8_v2" -> (() => mmSumsV2(8)),
       "mm_sums_w4_v2" -> (() => mmSumsV2(4)),

@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
  * | bandCandPairs    | (new r10)                    | 2e9    | Multimodal.nearDupMedia banded candidate guard |
  * | maxBucketRows    | (param-only before r10)      | 1024   | dense-bucket salting cap (banded self-joins) |
  * | indexDocsPerDir  | (new r11)                    | 16384  | persisted-index bucket-directory fan-out: one directory slice per this many docs at CREATE (Dedup.autoBucketDirs) |
+ * | bpeLocalMaxVocab | (new r11)                    | 200000 | Tokenizer.fitOn driver-local merge loop for vocabularies at or under this row count (the CC localMaxEdges pattern); -1 disables |
  *
  * Semantics: -1 disables a guard (documented per call site); caps are
  * never disabled (they cost no recall, only layout).
@@ -34,6 +35,7 @@ object Budget {
   val BandCandPairs = "bandCandPairs"
   val MaxBucketRows = "maxBucketRows"
   val IndexDocsPerDir = "indexDocsPerDir"
+  val BpeLocalMaxVocab = "bpeLocalMaxVocab"
 
   /** Resolve a budget: `spark.graft.budget.<name>`, else the legacy
     * alias, else the default. */

@@ -39,6 +39,12 @@ object Dedup {
     df.sparkSession.conf.getOption("spark.graft.materialize")
       .getOrElse("localCheckpoint") match {
       case "none" => df
+      // already a bare checkpoint/local-relation scan: re-checkpointing
+      // would copy the blocks through one more blocking job for zero
+      // lineage benefit (r11 — minhashRound hands its checkpointed
+      // batch sigs to the append path, which used to checkpoint again)
+      case _ if df.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] => df
       case _ => df.localCheckpoint()
     }
 

@@ -109,6 +109,21 @@ object Tokenizer {
   private[operators] def fitOn(base: DataFrame,
       nMerges: Int): (Seq[BpeMerge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // Vocabulary-sized state is MODEL-PARAMETER-sized by construction
+    // (the corpus collapsed to distinct words) — the same class as
+    // CC's localMaxEdges edge sets. At or under the budget the whole
+    // merge loop runs driver-side: the distributed loop costs ~4
+    // blocking jobs per round (argmax collect, delta agg, two
+    // checkpoint boundaries) over a tiny relation, pure scheduling at
+    // any SF, where the local loop is microseconds per round on the
+    // identical algorithm (delta-maintained pair counts, identical
+    // tie-breaks — TokenizerSpec pins local ≡ rescan-reference and
+    // local ≡ distributed-incremental). -1 disables; over-budget
+    // vocabularies run the distributed loop unchanged.
+    val localMax = Budget.long(base.sparkSession, Budget.BpeLocalMaxVocab,
+      200000L)
+    if (localMax >= 0L && base.count() <= localMax)
+      return fitOnLocal(base, nMerges)
     val log = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var state = base
     var counts = Dedup.materialize(pairCountsOf(state))
@@ -159,6 +174,104 @@ object Tokenizer {
       }
     }
     (log.toSeq, state)
+  }
+
+  /** Spark's string ordering is binary over UTF-8 bytes
+    * (UTF8String.compareTo — unsigned byte-wise), which differs from
+    * java.lang.String.compareTo (UTF-16 code units) outside ASCII; the
+    * local tie-break must rank EXACTLY as the distributed orderBy. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side twin of the distributed incremental loop below —
+    * same delta maintenance, same argmax tie-breaks (freq desc, then
+    * pair in UTF-8 binary order), same left-greedy literal replace
+    * (String.replace and Spark's StringReplace both substitute
+    * leftmost non-overlapping occurrences), same applied/token
+    * accounting — on collected (word, n, toks) rows. */
+  private def fitOnLocal(base: DataFrame,
+      nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    val spark = base.sparkSession
+    val rows = base.select(col("word"), col("n"), col("toks")).collect()
+    val wordsArr = rows.map(_.getString(0))
+    val ns = rows.map(_.getLong(1))
+    val toks = rows.map(_.getString(2))
+    def tokCount(t: String): Long = {
+      // tokens are single-space separated with sentinel spaces — count
+      // gaps exactly as size(split(trim(t), " ")) does
+      val s = t.trim
+      if (s.isEmpty) 0L else (s.count(_ == ' ') + 1).toLong
+    }
+    val counts = new java.util.HashMap[(String, String), Long]()
+    def addPairs(i: Int, sign: Long): Unit = {
+      val a = toks(i).trim.split(" ")
+      var j = 0
+      while (j < a.length - 1) {
+        val p = (a(j), a(j + 1))
+        val nv = counts.getOrDefault(p, 0L) + sign * ns(i)
+        if (nv == 0L) counts.remove(p) else counts.put(p, nv)
+        j += 1
+      }
+    }
+    var before = 0L
+    var i = 0
+    while (i < toks.length) {
+      addPairs(i, 1L)
+      before += ns(i) * tokCount(toks(i))
+      i += 1
+    }
+    val log = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // argmax with the distributed orderBy's exact tie-breaks; only
+      // f > 0 entries exist (zero entries are removed on update)
+      var best: ((String, String), Long) = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey; val f = e.getValue
+        if (best == null || f > best._2 ||
+            (f == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+          best = (k, f)
+      }
+      if (best == null || best._2 < 2) done = true
+      else {
+        val ((a, b), f) = best
+        val pat = s" $a $b "
+        val merged = s" $a$b "
+        var deltaToks = 0L
+        var w = 0
+        while (w < toks.length) {
+          if (toks(w).contains(pat)) {
+            addPairs(w, -1L)
+            val old = tokCount(toks(w))
+            toks(w) = toks(w).replace(pat, merged)
+            addPairs(w, 1L)
+            deltaToks += ns(w) * (old - tokCount(toks(w)))
+          }
+          w += 1
+        }
+        val after = before - deltaToks
+        log += BpeMerge(r, a, b, f, before - after, before, after)
+        before = after
+        r += 1
+      }
+    }
+    val outRows: java.util.List[Row] = java.util.Arrays.asList(
+      wordsArr.indices.map(j => Row(wordsArr(j), ns(j), toks(j))): _*)
+    (log.toSeq, spark.createDataFrame(outRows, base.schema))
   }
 
   /**

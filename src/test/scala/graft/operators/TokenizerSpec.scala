@@ -73,14 +73,30 @@ class TokenizerSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter($"doc_id" < 200)
     val b2 = base(docs)
+    // default budget: the vocab is under bpeLocalMaxVocab, so this is
+    // the DRIVER-LOCAL loop vs the full-recount reference
     val (incLog, finalState) = Tokenizer.fitOn(b2, 64)
     val refLog = Tokenizer.fitOnRescan(b2, 64)
     assert(incLog.nonEmpty)
     assert(incLog == refLog,
       s"first divergence: ${incLog.zip(refLog).find { case (a, b) => a != b }}")
-    val planNodes = finalState.queryExecution.logical.collect { case p => p }.size
-    assert(planNodes <= 10,
-      s"final state plan has $planNodes nodes — lineage not truncated")
+
+    // and the DISTRIBUTED incremental loop (budget disabled) must
+    // produce the identical log AND identical final state rows
+    spark.conf.set("spark.graft.budget.bpeLocalMaxVocab", "-1")
+    try {
+      val (distLog, distState) = Tokenizer.fitOn(b2, 64)
+      assert(distLog == incLog,
+        s"local/distributed divergence: ${distLog.zip(incLog).find { case (a, b) => a != b }}")
+      val localRows = finalState.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val distRows = distState.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(localRows == distRows, "final vocab state differs local vs distributed")
+      val planNodes = distState.queryExecution.logical.collect { case p => p }.size
+      assert(planNodes <= 10,
+        s"final state plan has $planNodes nodes — lineage not truncated")
+    } finally spark.conf.unset("spark.graft.budget.bpeLocalMaxVocab")
   }
 
   test("bpeFitChecked emits all-true invariants and the exact round-1 facts") {
