@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract needs the summary JSON to be the LAST line
+// of `sbt "runMain graft.Bench"` stdout: BENCH_r10/r11 both recorded
+// `parsed: null` because sbt appended its own `[success] Total time`
+// trailer (and prefixed run output with `[info] `) after Bench's final
+// JSON line. Forked run output goes straight to stdout unprefixed, and
+// the success banner is suppressed; the GC-monitor `[warn]` that also
+// trailed the JSON is disabled in `.jvmopts` (sbt.gc.monitor.ratio).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
